@@ -1,0 +1,15 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Mirrors the reference's emulation-mode testing strategy (`RUN_CHOICE=1`,
+`device/CMakeLists.txt:4-8`): the same kernels run on CPU so CI needs no
+accelerator; multi-chip sharding is tested on a virtual device mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
