@@ -1,0 +1,91 @@
+"""Dyadic (ciphertext x ciphertext) multiplication as a JAX program.
+
+Replaces the reference's 5-kernel FPGA dataflow
+(`device/dyadic_multiply.cpp:61-342`: input_fifo -> operands_fetcher ->
+dyadic_multiply_eu -> output_nb_fifo) with a single fused elementwise pass:
+on TPU the DDR repacking/FIFO machinery is unnecessary — XLA streams
+HBM->VMEM tiles and the VPU computes all three output polynomials in one
+kernel.  Math follows `dyadic_multiply_eu_kernel` (`:195-228`):
+    out0 = x0*y0, out1 = x0*y1 + x1*y0, out2 = x1*y1   (mod each modulus)
+with the reference's MultMod Barrett recipe (per-op moduli are runtime data,
+so the traced-modulus path of word64 is used with the host-precomputed
+(len, barr_lo) metadata of FPGAObject_DyadicMultiply::fill_in_data,
+`host/src/fpga.cpp:355-391`)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import word64 as w
+
+Pair = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def dyadic_multiply_core(op1: Pair, op2: Pair, q: Pair, barr: Pair, length) -> Pair:
+    """op1/op2: (..., 2, M, N) pairs; q/barr/length: (..., M, 1) broadcastable.
+
+    Returns (..., 3, M, N) pair."""
+
+    def poly(p, i):
+        return (p[0][..., i, :, :], p[1][..., i, :, :])
+
+    x0, x1 = poly(op1, 0), poly(op1, 1)
+    y0, y1 = poly(op2, 0), poly(op2, 1)
+
+    def mm(a, b):
+        return w.mul_mod_traced(a, b, q, barr, length)
+
+    out0 = mm(x0, y0)
+    # x0*y1 + x1*y0 mod q: both products canonical, AddUIntMod
+    p01 = mm(x0, y1)
+    p10 = mm(x1, y0)
+    out1 = w.cond_sub64(w.add64(p01, p10), q)
+    out2 = mm(x1, y1)
+
+    lo = jnp.stack([out0[0], out1[0], out2[0]], axis=-3)
+    hi = jnp.stack([out0[1], out1[1], out2[1]], axis=-3)
+    return lo, hi
+
+
+@functools.lru_cache(maxsize=None)
+def _dyadic_jit():
+    return jax.jit(
+        lambda o1lo, o1hi, o2lo, o2hi, qlo, qhi, blo, bhi, ln: dyadic_multiply_core(
+            (o1lo, o1hi), (o2lo, o2hi), (qlo, qhi), (blo, bhi), ln
+        )
+    )
+
+
+def moduli_meta(moduli: np.ndarray):
+    """Per-modulus (len, barr_lo) as in FPGAObject_DyadicMultiply::fill_in_data:
+    len = floor(log2 q) - 1, barr_lo = floor(2^(len+64) / q)."""
+    moduli = np.asarray(moduli, dtype=np.uint64)
+    lens = np.array([int(q).bit_length() - 2 for q in moduli], dtype=np.uint32)
+    barrs = np.array(
+        [((1 << (int(l) + 64)) // int(q)) & ((1 << 64) - 1) for q, l in zip(moduli, lens)],
+        dtype=np.uint64,
+    )
+    return lens, barrs
+
+
+def dyadic_multiply(op1, op2, n: int, moduli, n_moduli: int) -> np.ndarray:
+    """numpy convenience wrapper with the public-API layout
+    (`host/inc/hexl-fpga.h:41-43`): op [2][M][n] -> out [3][M][n]."""
+    op1 = np.asarray(op1, dtype=np.uint64).reshape(2, n_moduli, n)
+    op2 = np.asarray(op2, dtype=np.uint64).reshape(2, n_moduli, n)
+    moduli = np.asarray(moduli, dtype=np.uint64)
+    lens, barrs = moduli_meta(moduli)
+    o1 = w.to_pair_np(op1)
+    o2 = w.to_pair_np(op2)
+    qp = w.to_pair_np(moduli.reshape(n_moduli, 1))
+    bp = w.to_pair_np(barrs.reshape(n_moduli, 1))
+    lo, hi = _dyadic_jit()(
+        o1[0], o1[1], o2[0], o2[1], qp[0], qp[1], bp[0], bp[1],
+        lens.reshape(n_moduli, 1),
+    )
+    return w.from_pair_np(np.asarray(lo), np.asarray(hi)).reshape(-1)

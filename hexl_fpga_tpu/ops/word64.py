@@ -1,0 +1,315 @@
+"""Exact 64-bit integer arithmetic on uint32 lane pairs, in JAX.
+
+TPU has no native 64-bit integer datapath, so every 64-bit value is carried as
+a (lo, hi) pair of uint32 arrays (struct-of-arrays — each plane keeps the
+natural 8x128 VPU layout).  The recipes mirror the reference's 32-bit-limb
+device arithmetic (`device/mod_ops.hpp:31-133`: MultMod's 32-bit partial
+products, HLS_BarrettReduce with packed (r<<8)|k metadata) but are
+re-expressed as vectorized lane math instead of scalar HLS pipelines.
+
+Everything here is exact: 16-bit limb splits keep every partial product inside
+uint32, carries are recovered with compares.  Property-tested against Python
+big ints in tests/test_word64.py.
+
+Conventions:
+  * a "u64" is a tuple (lo, hi) of equal-shaped uint32 arrays.
+  * static Python-int scalars may be passed wherever a u64 is expected; they
+    are broadcast as constants (moduli are static in compiled kernels).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+U64Pair = Tuple[jnp.ndarray, jnp.ndarray]
+
+_M16 = jnp.uint32(0xFFFF)
+_U32 = np.uint64(0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# host-side pack/unpack (numpy)
+# ---------------------------------------------------------------------------
+
+
+def to_pair_np(a) -> Tuple[np.ndarray, np.ndarray]:
+    a = np.asarray(a, dtype=np.uint64)
+    return (a & _U32).astype(np.uint32), (a >> np.uint64(32)).astype(np.uint32)
+
+
+def from_pair_np(lo, hi) -> np.ndarray:
+    return np.asarray(lo, dtype=np.uint64) | (
+        np.asarray(hi, dtype=np.uint64) << np.uint64(32)
+    )
+
+
+def const_pair(v: int):
+    """A Python int as a (lo, hi) pair of uint32 scalars (compile-time const)."""
+    v = int(v) & 0xFFFFFFFFFFFFFFFF
+    return jnp.uint32(v & 0xFFFFFFFF), jnp.uint32(v >> 32)
+
+
+def _as_pair(x) -> U64Pair:
+    if isinstance(x, (int, np.integer)):
+        return const_pair(int(x))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# 32-bit primitives
+# ---------------------------------------------------------------------------
+
+
+def mul32(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact 32x32 -> 64 multiply: returns (lo, hi) uint32."""
+    a0 = a & _M16
+    a1 = a >> 16
+    b0 = b & _M16
+    b1 = b >> 16
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> 16) + (p01 & _M16) + (p10 & _M16)  # < 3 * 2^16, exact
+    lo = (p00 & _M16) | (mid << 16)
+    hi = p11 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+    return lo, hi
+
+
+def _addc(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    s = a + b
+    return s, (s < a).astype(jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit ops on pairs
+# ---------------------------------------------------------------------------
+
+
+def add64(a, b) -> U64Pair:
+    alo, ahi = _as_pair(a)
+    blo, bhi = _as_pair(b)
+    lo, c = _addc(alo, blo)
+    return lo, ahi + bhi + c
+
+
+def sub64(a, b) -> U64Pair:
+    alo, ahi = _as_pair(a)
+    blo, bhi = _as_pair(b)
+    lo = alo - blo
+    borrow = (alo < blo).astype(jnp.uint32)
+    return lo, ahi - bhi - borrow
+
+
+def ge64(a, b) -> jnp.ndarray:
+    alo, ahi = _as_pair(a)
+    blo, bhi = _as_pair(b)
+    return (ahi > bhi) | ((ahi == bhi) & (alo >= blo))
+
+
+def lt64(a, b) -> jnp.ndarray:
+    return ~ge64(a, b)
+
+
+def eq64(a, b) -> jnp.ndarray:
+    alo, ahi = _as_pair(a)
+    blo, bhi = _as_pair(b)
+    return (ahi == bhi) & (alo == blo)
+
+
+def select64(pred, a, b) -> U64Pair:
+    alo, ahi = _as_pair(a)
+    blo, bhi = _as_pair(b)
+    return jnp.where(pred, alo, blo), jnp.where(pred, ahi, bhi)
+
+
+def cond_sub64(a, q) -> U64Pair:
+    """a - q if a >= q else a."""
+    a = _as_pair(a)
+    q = _as_pair(q)
+    return select64(ge64(a, q), sub64(a, q), a)
+
+
+def mullo64(a, b) -> U64Pair:
+    """Low 64 bits of the product."""
+    alo, ahi = _as_pair(a)
+    blo, bhi = _as_pair(b)
+    lo, h = mul32(alo, blo)
+    return lo, h + alo * bhi + ahi * blo
+
+
+def mul64_full(a, b):
+    """Full 128-bit product as 4 uint32 limbs (r0 = lowest)."""
+    alo, ahi = _as_pair(a)
+    blo, bhi = _as_pair(b)
+    l0, h0 = mul32(alo, blo)
+    l1, h1 = mul32(alo, bhi)
+    l2, h2 = mul32(ahi, blo)
+    l3, h3 = mul32(ahi, bhi)
+    r0 = l0
+    s1, c1 = _addc(h0, l1)
+    s1, c2 = _addc(s1, l2)
+    r1 = s1
+    carry1 = c1 + c2
+    s2, d1 = _addc(h1, h2)
+    s2, d2 = _addc(s2, l3)
+    s2, d3 = _addc(s2, carry1)
+    r2 = s2
+    r3 = h3 + d1 + d2 + d3
+    return r0, r1, r2, r3
+
+
+def mulhi64(a, b) -> U64Pair:
+    """High 64 bits of the 128-bit product."""
+    _, _, r2, r3 = mul64_full(a, b)
+    return r2, r3
+
+
+# ---------------------------------------------------------------------------
+# modular primitives (static or traced modulus)
+# ---------------------------------------------------------------------------
+
+
+def add_mod(a, b, q) -> U64Pair:
+    """(a + b) mod q for a, b < q < 2^63."""
+    return cond_sub64(add64(a, b), q)
+
+
+def sub_mod(a, b, q) -> U64Pair:
+    """(a - b) mod q for a, b < q."""
+    return cond_sub64(add64(sub64(a, b), q), q)
+
+
+def mul_mod_lazy(x, w, w_precon, q) -> U64Pair:
+    """(x * w) mod q in [0, 2q): the Harvey lazy multiply.
+
+    w < q, w_precon = floor(w << 64 / q), x any u64 (result exact in [0,2q)
+    when x < 2^63-ish; see MultiplyUIntModLazy<64>,
+    `tests/test_utils/ntt.hpp:86-101`)."""
+    Q = mulhi64(x, w_precon)
+    return sub64(mullo64(w, x), mullo64(Q, q))
+
+
+def barrett_reduce64(x, q, q_barr) -> U64Pair:
+    """x mod q, fully reduced, for any x < 2^63 (q_barr = floor(2^64/q);
+    reference BarrettReduce64, `device/mod_ops.hpp:213-217`)."""
+    Q = mulhi64(x, q_barr)
+    r = sub64(x, mullo64(Q, q))
+    return cond_sub64(r, q)
+
+
+def reduce_mod_factor(x, q, factor: int) -> U64Pair:
+    """Reduce x in [0, factor*q) to [0, q) by conditional subtracts
+    (reference ReduceMod, `device/mod_ops.hpp:226-269`). factor in {1,2,4,8}."""
+    assert factor in (1, 2, 4, 8)
+    x = _as_pair(x)
+    if isinstance(q, (int, np.integer)):
+        f = factor
+        while f > 1:
+            f >>= 1
+            x = cond_sub64(x, int(q) * f)
+    else:
+        f = factor
+        while f > 1:
+            f >>= 1
+            # q * f for small static f: shift left
+            shift = {1: 0, 2: 1, 4: 2}[f]
+            qlo, qhi = _as_pair(q)
+            if shift:
+                qf = (
+                    qlo << shift,
+                    (qhi << shift) | (qlo >> (32 - shift)),
+                )
+            else:
+                qf = (qlo, qhi)
+            x = cond_sub64(x, qf)
+    return x
+
+
+def _shift128_right_static(r0, r1, r2, r3, s: int) -> U64Pair:
+    """(128-bit value >> s) low 64 bits, static s in [0, 128)."""
+    limbs = [r0, r1, r2, r3, jnp.zeros_like(r0), jnp.zeros_like(r0)]
+    word = s // 32
+    bits = s % 32
+    if bits == 0:
+        return limbs[word], limbs[word + 1]
+    lo = (limbs[word] >> bits) | (limbs[word + 1] << (32 - bits))
+    hi = (limbs[word + 1] >> bits) | (limbs[word + 2] << (32 - bits))
+    return lo, hi
+
+
+def mul_mod_static(x, y, q: int) -> U64Pair:
+    """(x * y) mod q exactly, for x, y < q < 2^62 with a *static* modulus.
+
+    Barrett with r = floor(2^(2k)/q), k = ceil(log2 q): the device
+    MultiplyUIntMod recipe (`device/mod_ops.hpp:196-204` via
+    HLS_BarrettReduce)."""
+    from . import nt
+
+    q = int(q)
+    k = nt.precompute_modulus_k(q)
+    r = (1 << (2 * k)) // q
+    p0, p1, p2, p3 = mul64_full(x, y)
+    if 2 * k >= 64:
+        # t = product >> (2k-64); qhat = (t * r) >> 64.  Truncating the low
+        # 2k-64 product bits costs at most 2 in qhat (r < 2^(k+1), k <= 52),
+        # so c < 3q and two conditional subtracts fully reduce.
+        t = _shift128_right_static(p0, p1, p2, p3, 2 * k - 64)
+        qhat = mulhi64(t, r)
+    else:
+        # product < 2^(2k) < 2^64: compute product * r exactly and shift.
+        f0, f1, f2, f3 = mul64_full((p0, p1), r)
+        qhat = _shift128_right_static(f0, f1, f2, f3, 2 * k)
+    c = sub64((p0, p1), mullo64(qhat, q))
+    c = cond_sub64(c, q)
+    c = cond_sub64(c, q)
+    return c
+
+
+def mul_mod_traced(x, y, q_pair, barr_pair, length) -> U64Pair:
+    """(x * y) mod q for traced per-element moduli (dyadic-multiply path).
+
+    Mirrors the reference MultMod (`device/mod_ops.hpp:31-84`):
+      len = floor(log2 q) - 1, barr = floor(2^(len+64) / q),
+      c1 = product >> len (64 bits), c3 = mulhi64(c1, barr),
+      c4 = product_lo - c3 * q, conditional subtract.
+    x, y are reduced into [0, q) first via two conditional subtracts from
+    [0, 4q)."""
+    qlo, qhi = q_pair
+    twice_q = ((qlo << 1), (qhi << 1) | (qlo >> 31))
+    x = cond_sub64(cond_sub64(x, twice_q), q_pair)
+    y = cond_sub64(cond_sub64(y, twice_q), q_pair)
+    p0, p1, p2, p3 = mul64_full(x, y)
+    # c1 = product >> length, low 64 bits; length in [0, 63] traced.
+    c1 = _shift128_right_traced(p0, p1, p2, p3, length)
+    c3 = mulhi64(c1, barr_pair)
+    c4 = sub64((p0, p1), mullo64(c3, q_pair))
+    return cond_sub64(c4, q_pair)
+
+
+def _shift128_right_traced(r0, r1, r2, r3, s) -> U64Pair:
+    """(128-bit >> s) low 64 bits for traced s in [0, 64)."""
+    s = s.astype(jnp.uint32) if hasattr(s, "astype") else jnp.uint32(s)
+    word = s // 32
+    bits = s % 32
+    nbits = (32 - bits) % 32
+    big = bits > 0
+
+    def pick(i0, i1, i2):
+        lo_w = jnp.where(word == 0, i0, i1)
+        hi_w = jnp.where(word == 0, i1, i2)
+        return lo_w, hi_w
+
+    l0, l1 = pick(r0, r1, r2)
+    _, l2 = pick(r1, r2, r3)
+    lo = jnp.where(big, (l0 >> bits) | _safe_shl(l1, nbits), l0)
+    hi = jnp.where(big, (l1 >> bits) | _safe_shl(l2, nbits), l1)
+    return lo, hi
+
+
+def _safe_shl(x, s):
+    """x << s with s possibly 0..32; s == 32 yields 0 (avoids UB)."""
+    return jnp.where(s >= 32, jnp.zeros_like(x), x << jnp.where(s >= 32, 0, s))
