@@ -73,6 +73,27 @@ def moduli_meta(moduli: np.ndarray):
     return lens, barrs
 
 
+def dyadic_multiply_batched(op1, op2, moduli) -> np.ndarray:
+    """op1/op2: (B, 2, M, n) u64; moduli: (B, M). Returns (B, 3, M, n) u64."""
+    op1 = np.asarray(op1, dtype=np.uint64)
+    op2 = np.asarray(op2, dtype=np.uint64)
+    B, _, M, n = op1.shape
+    moduli = np.asarray(moduli, dtype=np.uint64).reshape(B, M)
+    lens = np.zeros((B, M), dtype=np.uint32)
+    barrs = np.zeros((B, M), dtype=np.uint64)
+    for b in range(B):
+        lens[b], barrs[b] = moduli_meta(moduli[b])
+    o1 = w.to_pair_np(op1)
+    o2 = w.to_pair_np(op2)
+    qp = w.to_pair_np(moduli.reshape(B, M, 1))
+    bp = w.to_pair_np(barrs.reshape(B, M, 1))
+    lo, hi = _dyadic_jit()(
+        o1[0], o1[1], o2[0], o2[1], qp[0], qp[1], bp[0], bp[1],
+        lens.reshape(B, M, 1),
+    )
+    return w.from_pair_np(np.asarray(lo), np.asarray(hi))
+
+
 def dyadic_multiply(op1, op2, n: int, moduli, n_moduli: int) -> np.ndarray:
     """numpy convenience wrapper with the public-API layout
     (`host/inc/hexl-fpga.h:41-43`): op [2][M][n] -> out [3][M][n]."""

@@ -154,6 +154,69 @@ def _inv_jit(n: int, q: int):
     return jax.jit(lambda lo, hi: inv_ntt_core((lo, hi), n, q))
 
 
+@functools.lru_cache(maxsize=None)
+def _fwd_jit_tables(n: int, q: int, digest: int):
+    tabs = _TABLE_STASH.pop((n, q, digest), None)
+    assert tabs is not None, "table stash missing (internal error)"
+    return jax.jit(lambda lo, hi: fwd_ntt_core((lo, hi), n, q, tabs))
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_jit_tables(n: int, q: int, digest: int):
+    tabs = _TABLE_STASH.pop((n, q, digest), None)
+    assert tabs is not None, "table stash missing (internal error)"
+    return jax.jit(lambda lo, hi: inv_ntt_core((lo, hi), n, q, tabs))
+
+
+_TABLE_STASH: dict = {}
+
+
+def fwd_ntt_with_tables(a, q: int, root_of_unity_powers, precon) -> np.ndarray:
+    """Forward NTT using *caller-supplied* twiddle tables (golden layout), the
+    deprecated `_NTT` API path (`host/inc/hexl-fpga.h:115-118`)."""
+    a = np.asarray(a, dtype=np.uint64)
+    n = a.shape[-1]
+    fwd = np.ascontiguousarray(root_of_unity_powers, dtype=np.uint64)
+    fp = np.ascontiguousarray(precon, dtype=np.uint64)
+    digest = hash((fwd.tobytes(), fp.tobytes()))
+    key = (n, int(q), digest)
+    _TABLE_STASH.setdefault(
+        key, {"fwd": w.to_pair_np(fwd), "fwd_precon": w.to_pair_np(fp)}
+    )
+    fn = _fwd_jit_tables(n, int(q), digest)
+    lo, hi = w.to_pair_np(a.reshape(-1, n))
+    olo, ohi = fn(lo, hi)
+    return w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(a.shape)
+
+
+def inv_ntt_with_tables(
+    a, q: int, inv_root_of_unity_powers, precon, inv_n: int, inv_n_w: int
+) -> np.ndarray:
+    """Inverse NTT using caller tables + explicit inv_n / inv_n_w, the
+    deprecated `_INTT` API path (`host/inc/hexl-fpga.h:150-154`)."""
+    a = np.asarray(a, dtype=np.uint64)
+    n = a.shape[-1]
+    inv = np.ascontiguousarray(inv_root_of_unity_powers, dtype=np.uint64)
+    ip = np.ascontiguousarray(precon, dtype=np.uint64)
+    digest = hash((inv.tobytes(), ip.tobytes(), int(inv_n), int(inv_n_w)))
+    key = (n, int(q), digest)
+    _TABLE_STASH.setdefault(
+        key,
+        {
+            "inv": w.to_pair_np(inv),
+            "inv_precon": w.to_pair_np(ip),
+            "inv_n": int(inv_n),
+            "inv_n_w": int(inv_n_w),
+            "inv_n_precon": nt.barrett_factor(int(inv_n), 64, int(q)),
+            "inv_n_w_precon": nt.barrett_factor(int(inv_n_w), 64, int(q)),
+        },
+    )
+    fn = _inv_jit_tables(n, int(q), digest)
+    lo, hi = w.to_pair_np(a.reshape(-1, n))
+    olo, ohi = fn(lo, hi)
+    return w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(a.shape)
+
+
 def fwd_ntt(a, q: int) -> np.ndarray:
     """numpy u64 (..., n) -> forward NTT, canonical output."""
     a = np.asarray(a, dtype=np.uint64)

@@ -1,0 +1,152 @@
+"""Batch executors: route work batches to a compute backend.
+
+The RUN_CHOICE dispatch of the reference (`host/src/fpga_int.cpp:40-64,
+195-207,464-482`):
+  0 -> CPU golden model (the Intel-HEXL fallback; NTT/INTT unsupported there,
+       as in the reference which aborts: `fpga_int.cpp:317-321`),
+  1 -> emulation: the JAX path forced onto the CPU backend,
+  2 -> accelerated: the JAX path on the default backend (TPU when present).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..ops import dyadic_jax, golden, keyswitch_jax, ntt_jax
+from . import scheduler as sched
+
+
+def make_executor(run_choice: int, device_index: int):
+    if run_choice == 0:
+        return GoldenExecutor()
+    return JaxExecutor(device_index, force_cpu=(run_choice == 1))
+
+
+class _Base:
+    def run_batch(self, batch: List["sched.WorkItem"]) -> None:
+        op = batch[0].op_type
+        getattr(self, f"run_{op.lower()}")(batch)
+
+
+class GoldenExecutor(_Base):
+    """CPU golden-model backend (RUN_CHOICE=0)."""
+
+    def run_dyadic_multiply(self, batch):
+        for item in batch:
+            a = item.args
+            out = golden.dyadic_multiply(
+                a["operand1"], a["operand2"], a["n"], a["moduli"], a["n_moduli"]
+            )
+            np.copyto(a["results"], out.reshape(a["results"].shape))
+
+    def run_keyswitch(self, batch):
+        for item in batch:
+            a = item.args
+            out = golden.keyswitch(
+                a["result"],
+                a["t_target"],
+                a["n"],
+                a["decomp_modulus_size"],
+                a["key_modulus_size"],
+                a["rns_modulus_size"],
+                a["key_component_count"],
+                a["moduli"],
+                a["k_switch_keys"],
+                a["modswitch_factors"],
+                a["twiddle_factors"],
+            )
+            np.copyto(a["result"], out.reshape(a["result"].shape))
+
+    def run_ntt(self, batch):
+        raise RuntimeError(
+            "NTT not supported on the CPU backend (RUN_CHOICE=0); the reference "
+            "aborts here too (`host/src/fpga_int.cpp:317-321`)"
+        )
+
+    run_intt = run_ntt
+
+
+class JaxExecutor(_Base):
+    """XLA-compiled backend (RUN_CHOICE=1 emulation on CPU, =2 accelerated)."""
+
+    def __init__(self, device_index: int, force_cpu: bool):
+        import jax
+
+        self._jax = jax
+        if force_cpu:
+            devs = jax.devices("cpu")
+        else:
+            devs = jax.devices()
+        self.device = devs[device_index % len(devs)]
+
+    def _ctx(self):
+        return self._jax.default_device(self.device)
+
+    def run_dyadic_multiply(self, batch):
+        with self._ctx():
+            # stack ops that share (n, n_moduli); fences guarantee homogeneity
+            n = batch[0].args["n"]
+            M = batch[0].args["n_moduli"]
+            op1 = np.stack(
+                [np.asarray(i.args["operand1"], dtype=np.uint64).reshape(2, M, n) for i in batch]
+            )
+            op2 = np.stack(
+                [np.asarray(i.args["operand2"], dtype=np.uint64).reshape(2, M, n) for i in batch]
+            )
+            moduli = np.stack(
+                [np.asarray(i.args["moduli"], dtype=np.uint64)[:M] for i in batch]
+            )
+            out = dyadic_jax.dyadic_multiply_batched(op1, op2, moduli)
+            for b, item in enumerate(batch):
+                np.copyto(
+                    item.args["results"], out[b].reshape(item.args["results"].shape)
+                )
+
+    def run_ntt(self, batch):
+        with self._ctx():
+            a = batch[0].args
+            ops = np.stack([np.asarray(i.args["operand"], dtype=np.uint64) for i in batch])
+            out = ntt_jax.fwd_ntt_with_tables(
+                ops, a["coeff_modulus"], a["root_of_unity_powers"], a["precon"]
+            )
+            for b, item in enumerate(batch):
+                np.copyto(item.args["operand"], out[b])
+
+    def run_intt(self, batch):
+        with self._ctx():
+            a = batch[0].args
+            ops = np.stack([np.asarray(i.args["operand"], dtype=np.uint64) for i in batch])
+            out = ntt_jax.inv_ntt_with_tables(
+                ops,
+                a["coeff_modulus"],
+                a["inv_root_of_unity_powers"],
+                a["precon"],
+                a["inv_n"],
+                a["inv_n_w"],
+            )
+            for b, item in enumerate(batch):
+                np.copyto(item.args["operand"], out[b])
+
+    def run_keyswitch(self, batch):
+        with self._ctx():
+            a = batch[0].args
+            ctx = keyswitch_jax.get_context(
+                a["n"],
+                a["decomp_modulus_size"],
+                a["key_modulus_size"],
+                a["rns_modulus_size"],
+                a["key_component_count"],
+                a["moduli"],
+                a["twiddle_factors"],
+            )
+            ts = np.stack(
+                [np.asarray(i.args["t_target"], dtype=np.uint64).ravel() for i in batch]
+            )
+            rs = np.stack(
+                [np.asarray(i.args["result"], dtype=np.uint64).ravel() for i in batch]
+            )
+            out = ctx.run_batch(rs, ts, a["k_switch_keys"], a["modswitch_factors"])
+            for b, item in enumerate(batch):
+                np.copyto(item.args["result"], out[b].reshape(item.args["result"].shape))
