@@ -26,7 +26,7 @@ import numpy as np
 
 U64Pair = Tuple[jnp.ndarray, jnp.ndarray]
 
-_M16 = jnp.uint32(0xFFFF)
+_M16 = np.uint32(0xFFFF)
 _U32 = np.uint64(0xFFFFFFFF)
 
 
@@ -49,7 +49,7 @@ def from_pair_np(lo, hi) -> np.ndarray:
 def const_pair(v: int):
     """A Python int as a (lo, hi) pair of uint32 scalars (compile-time const)."""
     v = int(v) & 0xFFFFFFFFFFFFFFFF
-    return jnp.uint32(v & 0xFFFFFFFF), jnp.uint32(v >> 32)
+    return np.uint32(v & 0xFFFFFFFF), np.uint32(v >> 32)
 
 
 def _as_pair(x) -> U64Pair:
