@@ -1,0 +1,414 @@
+"""Multi-chip parallelism via jax.sharding + shard_map.
+
+The reference's parallelism axes (SURVEY.md §2.4) map to mesh axes:
+
+* batch parallelism (host-side op batching / compute-unit replication,
+  `fpga.cpp:107-180`, `fwd_ntt.cpp:510-520`)  ->  'dp': shard the op batch,
+  no collectives.
+* RNS-limb parallelism (7 parallel NTT+MAC engines, one per key modulus,
+  `autorun_kernel_instances.hpp:105-167`)     ->  'mp': shard keyswitch
+  engines across chips; the only cross-limb data is the INTT1 coefficient
+  broadcast (`intt1_forward.hpp:8`), realized as replicated INTT1 compute,
+  and the special-modulus tail, gathered with all_gather.
+* polynomial/sequence parallelism (absent in the reference, whose N fits
+  on-chip BRAM; the scaling seam identified at `fwd_ntt.cpp:146`)
+  ->  'sp': the binary-exchange distributed NTT below: the first log2(P)
+  butterfly stages pair coefficients that live on different shards and are
+  exchanged with ppermute (partner = my_idx XOR stage distance); all
+  remaining stages are shard-local.  One whole-shard exchange per
+  cross-stage — the NTT analog of ring attention's sequence parallelism.
+
+All cores operate on uint32-pair planes and are bit-exact with the golden
+model; tests run on a virtual 8-device CPU mesh (tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import nt, ntt_jax, twiddles, word64 as w
+
+Pair = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# batch-sharded NTT ('dp')
+# ---------------------------------------------------------------------------
+
+
+def batch_sharded_fwd_ntt(mesh: Mesh, axis: str, n: int, q: int):
+    """Forward NTT with the batch dim sharded over `axis` — embarrassingly
+    parallel; the multi-chip throughput path for the 1e6 NTT/s target."""
+
+    def local(lo, hi):
+        return ntt_jax.fwd_ntt_core((lo, hi), n, q)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None)),
+            out_specs=(P(axis, None), P(axis, None)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# coefficient-sharded (sequence-parallel) NTT ('sp')
+# ---------------------------------------------------------------------------
+
+
+def _fwd_pos_tables(n: int, q: int):
+    """Position-expanded (S, n) twiddle stacks for all stages (both the W and
+    the precon table), in plain coefficient order — shardable on dim 1."""
+    t = twiddles.ntt_tables(n, q)
+    S = nt.log2_exact(n)
+    j = np.arange(n)
+    pos = np.zeros((S, n), dtype=np.uint64)
+    posp = np.zeros((S, n), dtype=np.uint64)
+    for s in range(S):
+        m = 1 << s
+        block = j // (n // m)
+        pos[s] = t.fwd[m + block]
+        posp[s] = t.fwd_precon[m + block]
+    return pos, posp
+
+
+def dist_fwd_ntt(mesh: Mesh, axis: str, n: int, q: int):
+    """Forward NTT with the *coefficient* dim sharded over `axis` (P shards).
+
+    Binary-exchange algorithm: stage s with butterfly distance t = n >> (s+1):
+      - t >= n/P: the partner coefficient lives on shard (me XOR t/(n/P));
+        exchange whole shards via ppermute, then each shard applies its half
+        of the Harvey butterfly (the shard's role, X or Y, is fixed per
+        stage).
+      - t <  n/P: shard-local stage, identical math to the single-chip core.
+    Twiddles are position-expanded host-side and sharded with the data, so
+    the local code never needs global indexing.
+
+    Returns a jitted fn (lo, hi) -> (lo, hi) on (B, n) arrays sharded P(None,
+    axis); output canonical [0, q).
+    """
+    Pn = mesh.shape[axis]
+    assert n % (Pn * 128) == 0, "each shard must hold a multiple of 128 lanes"
+    shard = n // Pn
+    S = nt.log2_exact(n)
+    pos_np, posp_np = _fwd_pos_tables(n, q)
+    pos = w.to_pair_np(pos_np)
+    posp = w.to_pair_np(posp_np)
+
+    n_cross = nt.log2_exact(Pn)  # stages with t >= shard
+
+    def local(lo, hi, pw_lo, pw_hi, pp_lo, pp_hi):
+        me = jax.lax.axis_index(axis)
+        x = (lo, hi)  # (B, shard)
+
+        def stage_tab(s):
+            return (pw_lo[s], pw_hi[s]), (pp_lo[s], pp_hi[s])
+
+        # cross-shard stages: whole-shard exchange with the XOR partner
+        for s in range(n_cross):
+            t = n >> (s + 1)
+            dist = t // shard
+            perm = [(i, i ^ dist) for i in range(Pn)]
+            partner = (
+                jax.lax.ppermute(x[0], axis, perm),
+                jax.lax.ppermute(x[1], axis, perm),
+            )
+            W, Wp = stage_tab(s)
+            is_x = (me & dist) == 0
+            # X shards: tx = fold(x); T = lazy(partner * W); out = tx + T
+            # Y shards: tx = fold(partner); T = lazy(x * W); out = tx + 2q - T
+            tx_self = w.cond_sub64(x, 2 * q)
+            tx_part = w.cond_sub64(partner, 2 * q)
+            T_self = w.mul_mod_lazy(x, W, Wp, q)
+            T_part = w.mul_mod_lazy(partner, W, Wp, q)
+            outX = w.add64(tx_self, T_part)
+            outY = w.sub64(w.add64(tx_part, 2 * q), T_self)
+            x = w.select64(is_x, outX, outY)
+
+        # local stages: same per-stage butterfly as the single-chip core
+        B = x[0].shape[0]
+        t = shard >> 1
+        m_local = 1
+        s = n_cross
+        while m_local < shard:
+            vlo = x[0].reshape(B, m_local, 2, t)
+            vhi = x[1].reshape(B, m_local, 2, t)
+            X = (vlo[:, :, 0, :], vhi[:, :, 0, :])
+            Y = (vlo[:, :, 1, :], vhi[:, :, 1, :])
+            W, Wp = stage_tab(s)
+            # the Y-half twiddles of this stage, shaped (m_local, t)
+            Wy = (
+                W[0].reshape(m_local, 2, t)[:, 1, :][None],
+                W[1].reshape(m_local, 2, t)[:, 1, :][None],
+            )
+            Wyp = (
+                Wp[0].reshape(m_local, 2, t)[:, 1, :][None],
+                Wp[1].reshape(m_local, 2, t)[:, 1, :][None],
+            )
+            tx = w.cond_sub64(X, 2 * q)
+            T = w.mul_mod_lazy(Y, Wy, Wyp, q)
+            nX = w.add64(tx, T)
+            nY = w.sub64(w.add64(tx, 2 * q), T)
+            x = (
+                jnp.stack([nX[0], nY[0]], axis=2).reshape(B, shard),
+                jnp.stack([nX[1], nY[1]], axis=2).reshape(B, shard),
+            )
+            m_local <<= 1
+            t >>= 1
+            s += 1
+
+        return w.cond_sub64(w.cond_sub64(x, 2 * q), q)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis), P(None, axis),
+            P(None, axis), P(None, axis),
+            P(None, axis), P(None, axis),
+        ),
+        out_specs=(P(None, axis), P(None, axis)),
+    )
+    tabs = (
+        jnp.asarray(pos[0]), jnp.asarray(pos[1]),
+        jnp.asarray(posp[0]), jnp.asarray(posp[1]),
+    )
+    return jax.jit(lambda lo, hi: fn(lo, hi, *tabs))
+
+
+# ---------------------------------------------------------------------------
+# limb-sharded keyswitch ('mp', optionally x 'dp')
+# ---------------------------------------------------------------------------
+
+
+class ShardedKeySwitch:
+    """KeySwitch with RNS engines sharded over a mesh axis and the op batch
+    over another.
+
+    Engine placement mirrors the reference's 7 parallel engines
+    (`autorun_kernel_instances.hpp:105-167`): engine j (modulus q_j) computes
+    NTT_j(reduce_j(INTT1 outputs)) x keys, accumulated over decomp.  Here
+    each mp-shard owns ceil((L+1)/P) engines (the special engine is the
+    last); INTT1 is replicated (its cost is 1/L of the engine work), the
+    special-engine tail value `e` is broadcast to all shards with a masked
+    psum, and each shard emits its engines' output slices which an all_gather
+    reassembles.
+    """
+
+    def __init__(self, mesh: Mesh, limb_axis: str, batch_axis: str | None,
+                 n: int, decomp_modulus_size: int, key_modulus_size: int,
+                 moduli: Sequence[int]):
+        self.mesh = mesh
+        self.limb_axis = limb_axis
+        self.batch_axis = batch_axis
+        self.n = n
+        self.L = decomp_modulus_size
+        self.K = key_modulus_size
+        self.moduli = tuple(int(m) for m in moduli)
+        self.P = mesh.shape[limb_axis]
+        # engines: 0..L-1 (decomp) + special; padded to a multiple of P
+        engines = list(range(self.L)) + [self.K - 1]
+        while len(engines) % self.P:
+            engines.append(-1)  # padding slot (no-op)
+        self.engines = engines
+        self.per_shard = len(engines) // self.P
+        self.tabs = [ntt_jax.device_tables(n, q) for q in self.moduli]
+        self.q_barr = [nt.barrett_factor(1, 64, q) for q in self.moduli]
+        self.qk = self.moduli[self.K - 1]
+        self.qk_half = self.qk >> 1
+        self._fn = None
+
+    def _local(self, t_lo, t_hi, keys_lo, keys_hi, res_lo, res_hi,
+               msf_lo, msf_hi):
+        """Per-shard body. t: (B, L, n) replicated across mp; res: (B, 2, L, n).
+
+        Each shard runs only its own engines: the engine identity is selected
+        with lax.switch on the shard index (only the taken branch executes at
+        runtime; each branch is specialized to its engine's static modulus).
+        Shard outputs are zero outside owned engines and psum-combined."""
+        n, L, K = self.n, self.L, self.K
+        me = jax.lax.axis_index(self.limb_axis)
+        B = t_lo.shape[0]
+
+        def tp(i):
+            return (t_lo[:, i, :], t_hi[:, i, :])
+
+        # INTT1 replicated on every shard (the pipe-broadcast point of
+        # `intt1_forward.hpp:8`; 1/L of one engine's work).
+        coeff = [
+            ntt_jax.inv_ntt_core(tp(i), n, self.moduli[i], self.tabs[i])
+            for i in range(L)
+        ]
+
+        def engine_acc(j):
+            q = self.moduli[j]
+            acc = [None, None]
+            for i in range(L):
+                if i == j:
+                    val = tp(i)
+                else:
+                    red = w.barrett_reduce64(coeff[i], q, self.q_barr[j])
+                    val = ntt_jax.fwd_ntt_core(red, n, q, self.tabs[j])
+                for k in range(2):
+                    key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
+                    prod = w.mul_mod_static(val, key, q)
+                    acc[k] = prod if acc[k] is None else w.add_mod(acc[k], prod, q)
+            return acc
+
+        zero_bn = lambda: jnp.zeros((B, 2, n), jnp.uint32)
+
+        # Phase 1 per slot: lax.switch over this shard's engine for the slot.
+        # Branch output: (acc_lo, acc_hi, e_lo, e_hi, j) — acc for decomp
+        # engines, e for the special engine, zeros otherwise.
+        slot_results = []
+        for slot in range(self.per_shard):
+            branches = []
+            for p in range(self.P):
+                j = self.engines[p * self.per_shard + slot]
+
+                def mk(j=j):
+                    def branch(_):
+                        if j < 0:
+                            return (zero_bn(), zero_bn(), zero_bn(), zero_bn(),
+                                    jnp.int32(0))
+                        acc = engine_acc(j)
+                        if j == K - 1:
+                            els = []
+                            ehs = []
+                            for k in range(2):
+                                d = ntt_jax.inv_ntt_core(
+                                    acc[k], n, self.qk, self.tabs[K - 1]
+                                )
+                                e = w.add_mod(d, self.qk_half, self.qk)
+                                els.append(e[0])
+                                ehs.append(e[1])
+                            return (zero_bn(), zero_bn(),
+                                    jnp.stack(els, 1), jnp.stack(ehs, 1),
+                                    jnp.int32(0))
+                        alo = jnp.stack([acc[0][0], acc[1][0]], 1)
+                        ahi = jnp.stack([acc[0][1], acc[1][1]], 1)
+                        return (alo, ahi, zero_bn(), zero_bn(), jnp.int32(j))
+
+                    return branch
+
+                branches.append(mk())
+            slot_results.append(jax.lax.switch(me, branches, None))
+
+        # broadcast e from the special engine's owner to every shard
+        e_lo = jax.lax.psum(sum(r[2] for r in slot_results), self.limb_axis)
+        e_hi = jax.lax.psum(sum(r[3] for r in slot_results), self.limb_axis)
+
+        # Phase 2 per slot: modswitch tail for decomp engines (again switch-
+        # specialized per static modulus); contribution added at traced j.
+        out_lo = jnp.zeros((B, 2, L, n), jnp.uint32)
+        out_hi = jnp.zeros((B, 2, L, n), jnp.uint32)
+        for slot in range(self.per_shard):
+            alo, ahi, _, _, j_traced = slot_results[slot]
+            branches = []
+            for p in range(self.P):
+                j = self.engines[p * self.per_shard + slot]
+
+                def mk(j=j):
+                    def branch(args):
+                        alo, ahi = args
+                        if j < 0 or j == K - 1:
+                            return zero_bn(), zero_bn()
+                        q = self.moduli[j]
+                        fix = q - (self.qk_half % q)
+                        outs = []
+                        for k in range(2):
+                            e = (e_lo[:, k, :], e_hi[:, k, :])
+                            f = w.barrett_reduce64(
+                                w.add64(e, fix), q, self.q_barr[j]
+                            )
+                            g = ntt_jax.fwd_ntt_core(f, n, q, self.tabs[j])
+                            acc = (alo[:, k, :], ahi[:, k, :])
+                            t1 = w.reduce_mod_factor(
+                                w.add64(w.sub64(acc, g), 4 * q), q, 8
+                            )
+                            msf = (msf_lo[j], msf_hi[j])
+                            delta = w.mul_mod_static(t1, msf, q)
+                            r_in = (res_lo[:, k, j, :], res_hi[:, k, j, :])
+                            outs.append(w.cond_sub64(w.add64(r_in, delta), q))
+                        return (
+                            jnp.stack([outs[0][0], outs[1][0]], 1),
+                            jnp.stack([outs[0][1], outs[1][1]], 1),
+                        )
+
+                    return branch
+
+                branches.append(mk())
+            r_lo, r_hi = jax.lax.switch(me, branches, (alo, ahi))
+            out_lo = jax.lax.dynamic_update_slice(
+                out_lo,
+                (jax.lax.dynamic_slice(
+                    out_lo, (0, 0, j_traced, 0), (B, 2, 1, n)
+                ) + r_lo[:, :, None, :]),
+                (0, 0, j_traced, 0),
+            )
+            out_hi = jax.lax.dynamic_update_slice(
+                out_hi,
+                (jax.lax.dynamic_slice(
+                    out_hi, (0, 0, j_traced, 0), (B, 2, 1, n)
+                ) + r_hi[:, :, None, :]),
+                (0, 0, j_traced, 0),
+            )
+
+        out_lo = jax.lax.psum(out_lo, self.limb_axis)
+        out_hi = jax.lax.psum(out_hi, self.limb_axis)
+        return out_lo, out_hi
+
+    def compile(self):
+        ax = self.limb_axis
+        bx = self.batch_axis
+        bspec = bx if bx else None
+        data_in = P(bspec, None, None)
+        res_in = P(bspec, None, None, None)
+        rep = P(None, None, None, None)
+        msf = P(None)
+        kwargs = dict(
+            mesh=self.mesh,
+            in_specs=(data_in, data_in, rep, rep, res_in, res_in, msf, msf),
+            out_specs=(res_in, res_in),
+        )
+        try:
+            fn = shard_map(self._local, check_vma=False, **kwargs)
+        except TypeError:
+            fn = shard_map(self._local, check_rep=False, **kwargs)
+        self._fn = jax.jit(fn)
+        return self
+
+    def run(self, results, t_targets, k_switch_keys, modswitch_factors):
+        """results: (B, 2*L*n), t_targets: (B, L*n) numpy -> (B, 2*L*n)."""
+        if self._fn is None:
+            self.compile()
+        B = results.shape[0]
+        n, L = self.n, self.L
+        t = w.to_pair_np(np.asarray(t_targets, dtype=np.uint64).reshape(B, L, n))
+        r = w.to_pair_np(np.asarray(results, dtype=np.uint64).reshape(B, 2, L, n))
+        keys = np.stack(
+            [
+                np.asarray(kv, dtype=np.uint64).reshape(2, self.K, n)
+                for kv in k_switch_keys
+            ]
+        )
+        klo, khi = w.to_pair_np(keys)
+        msf = np.array(
+            [int(m) % q for m, q in zip(modswitch_factors, self.moduli)],
+            dtype=np.uint64,
+        )
+        mlo, mhi = w.to_pair_np(msf)
+        olo, ohi = self._fn(t[0], t[1], klo, khi, r[0], r[1], mlo, mhi)
+        return w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(B, -1)

@@ -1,0 +1,77 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hexl_fpga_tpu.ops import golden, nt, word64 as w
+from hexl_fpga_tpu.parallel import sharded
+from hexl_fpga_tpu.utils import vectors
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"
+    return devs
+
+
+def test_batch_sharded_fwd_ntt(devices):
+    n, q = 1024, nt.generate_primes(1, 45, 1024)[0]
+    mesh = Mesh(np.array(devices[:8]), ("dp",))
+    fn = sharded.batch_sharded_fwd_ntt(mesh, "dp", n, q)
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, q, size=(16, n), dtype=np.uint64)
+    lo, hi = w.to_pair_np(a)
+    olo, ohi = fn(jnp.asarray(lo), jnp.asarray(hi))
+    out = w.from_pair_np(np.asarray(olo), np.asarray(ohi))
+    np.testing.assert_array_equal(out, golden.fwd_ntt(a, q))
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_dist_fwd_ntt(devices, n_shards):
+    """Coefficient-sharded (sequence-parallel) NTT: bit-exact vs golden."""
+    n, q = 2048, nt.generate_primes(1, 45, 2048)[0]
+    mesh = Mesh(np.array(devices[:n_shards]), ("sp",))
+    fn = sharded.dist_fwd_ntt(mesh, "sp", n, q)
+    rng = np.random.default_rng(n_shards)
+    a = rng.integers(0, q, size=(4, n), dtype=np.uint64)
+    lo, hi = w.to_pair_np(a)
+    olo, ohi = fn(jnp.asarray(lo), jnp.asarray(hi))
+    out = w.from_pair_np(np.asarray(olo), np.asarray(ohi))
+    np.testing.assert_array_equal(out, golden.fwd_ntt(a, q))
+
+
+@pytest.mark.parametrize("mp,dp", [(2, 1), (4, 2)])
+def test_limb_sharded_keyswitch(devices, mp, dp):
+    n, L, K = 64, 3, 4
+    vec = vectors.make_keyswitch_vector(n, L, K, seed=7, modulus_bits=40)
+    mesh = Mesh(
+        np.array(devices[: mp * dp]).reshape(dp, mp), ("dp", "mp")
+    )
+    ks = sharded.ShardedKeySwitch(
+        mesh, "mp", "dp" if dp > 1 else None, n, L, K, vec.moduli
+    )
+    B = 2 * dp
+    rng = np.random.default_rng(1)
+    ts = np.stack([vec.t_target_iter_ptr for _ in range(B)])
+    rs = np.stack(
+        [
+            np.concatenate(
+                [
+                    rng.integers(0, vec.moduli[i % L], size=n, dtype=np.uint64)
+                    for i in range(2 * L)
+                ]
+            )
+            for _ in range(B)
+        ]
+    )
+    got = ks.run(rs, ts, vec.key_vectors, vec.modswitch_factors)
+    for b in range(B):
+        want = golden.keyswitch(
+            rs[b], ts[b], n, L, K, L + 1, 2,
+            vec.moduli, vec.key_vectors, vec.modswitch_factors, None,
+        )
+        np.testing.assert_array_equal(got[b], want)
