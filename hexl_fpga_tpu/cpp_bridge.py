@@ -1,0 +1,369 @@
+"""ctypes bridge to the native C++ runtime (cpp/ -> libhexl_fpga_tpu.so).
+
+Two directions:
+
+* drive the C++ `hexl-fpga.h`-compatible API from Python (used by the parity
+  tests — the C++ runtime must match the Python golden bit for bit);
+* register the JAX/TPU executors as the C++ runtime's accelerator backend
+  (`cpp/include/hexl_tpu_backend.h`), so a C++ caller of the reference API —
+  e.g. a SEAL-bridge integration — transparently runs on TPU when the hosting
+  process provides one.  This is the TPU analog of the reference dlopen'ing a
+  bitstream .so (`host/src/dl_kernel_interfaces.cpp:9-33`), with the linkage
+  inverted: the accelerator owner registers into the C++ runtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+_CPP_DIR = _REPO_ROOT / "cpp"
+_BUILD_DIR = _CPP_DIR / "build"
+_LIB_NAME = "libhexl_fpga_tpu.so"
+
+u64_p = ctypes.POINTER(ctypes.c_uint64)
+u64_pp = ctypes.POINTER(u64_p)
+
+
+class DyadicOp(ctypes.Structure):
+    _fields_ = [
+        ("results", u64_p),
+        ("operand1", u64_p),
+        ("operand2", u64_p),
+        ("n", ctypes.c_uint64),
+        ("moduli", u64_p),
+        ("n_moduli", ctypes.c_uint64),
+    ]
+
+
+class KeySwitchOp(ctypes.Structure):
+    _fields_ = [
+        ("result", u64_p),
+        ("t_target", u64_p),
+        ("n", ctypes.c_uint64),
+        ("decomp_modulus_size", ctypes.c_uint64),
+        ("key_modulus_size", ctypes.c_uint64),
+        ("rns_modulus_size", ctypes.c_uint64),
+        ("key_component_count", ctypes.c_uint64),
+        ("moduli", u64_p),
+        ("k_switch_keys", u64_pp),
+        ("modswitch_factors", u64_p),
+        ("twiddle_factors", u64_p),
+    ]
+
+
+class NttOp(ctypes.Structure):
+    _fields_ = [
+        ("operand", u64_p),
+        ("root_powers", u64_p),
+        ("precon_root_powers", u64_p),
+        ("coeff_modulus", ctypes.c_uint64),
+        ("inv_n", ctypes.c_uint64),
+        ("inv_n_w", ctypes.c_uint64),
+        ("n", ctypes.c_uint64),
+    ]
+
+
+DYADIC_CB = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.c_void_p, ctypes.POINTER(DyadicOp), ctypes.c_uint64
+)
+KEYSWITCH_CB = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.c_void_p, ctypes.POINTER(KeySwitchOp), ctypes.c_uint64
+)
+NTT_CB = ctypes.CFUNCTYPE(
+    ctypes.c_int,
+    ctypes.c_void_p,
+    ctypes.POINTER(NttOp),
+    ctypes.c_uint64,
+    ctypes.c_int,
+)
+
+
+class BackendV1(ctypes.Structure):
+    _fields_ = [
+        ("run_dyadic_batch", DYADIC_CB),
+        ("run_keyswitch_batch", KEYSWITCH_CB),
+        ("run_ntt_batch", NTT_CB),
+        ("ctx", ctypes.c_void_p),
+    ]
+
+
+def build_library(force: bool = False) -> Path:
+    """Build libhexl_fpga_tpu.so with cmake (cached in cpp/build)."""
+    lib = _BUILD_DIR / _LIB_NAME
+    if lib.exists() and not force:
+        return lib
+    subprocess.run(
+        ["cmake", "-S", str(_CPP_DIR), "-B", str(_BUILD_DIR),
+         "-DCMAKE_BUILD_TYPE=Release"],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        ["cmake", "--build", str(_BUILD_DIR), "-j"],
+        check=True, capture_output=True,
+    )
+    return lib
+
+
+def _np_ptr(a: np.ndarray):
+    return a.ctypes.data_as(u64_p)
+
+
+class NativeRuntime:
+    """Handle on the loaded C++ runtime, mirroring the public API."""
+
+    def __init__(self, lib_path: Optional[os.PathLike] = None):
+        path = Path(lib_path) if lib_path else build_library()
+        self.lib = ctypes.CDLL(str(path))
+        self._keepalive: list = []
+        L = self.lib
+        for name, argtypes, restype in [
+            ("hexl_tpu_acquire", [], None),
+            ("hexl_tpu_release", [], None),
+            ("hexl_tpu_set_worksize_dyadic_multiply", [ctypes.c_uint64], None),
+            (
+                "hexl_tpu_dyadic_multiply",
+                [u64_p, u64_p, u64_p, ctypes.c_uint64, u64_p, ctypes.c_uint64],
+                None,
+            ),
+            ("hexl_tpu_dyadic_multiply_completed", [], ctypes.c_int),
+            ("hexl_tpu_set_worksize_keyswitch", [ctypes.c_uint64], None),
+            (
+                "hexl_tpu_keyswitch",
+                [u64_p, u64_p] + [ctypes.c_uint64] * 5 + [u64_p, u64_pp, u64_p, u64_p],
+                None,
+            ),
+            ("hexl_tpu_keyswitch_completed", [], ctypes.c_int),
+            ("hexl_tpu_set_worksize_ntt", [ctypes.c_uint64], None),
+            (
+                "hexl_tpu_ntt",
+                [u64_p, u64_p, u64_p, ctypes.c_uint64, ctypes.c_uint64],
+                None,
+            ),
+            ("hexl_tpu_ntt_completed", [], ctypes.c_int),
+            ("hexl_tpu_set_worksize_intt", [ctypes.c_uint64], None),
+            (
+                "hexl_tpu_intt",
+                [u64_p, u64_p, u64_p] + [ctypes.c_uint64] * 4,
+                None,
+            ),
+            ("hexl_tpu_intt_completed", [], ctypes.c_int),
+            (
+                "hexl_tpu_register_backend",
+                [ctypes.POINTER(BackendV1)],
+                None,
+            ),
+            (
+                "hexl_tpu_minimal_primitive_root",
+                [ctypes.c_uint64, ctypes.c_uint64],
+                ctypes.c_uint64,
+            ),
+            (
+                "hexl_tpu_make_ntt_tables",
+                [ctypes.c_uint64, ctypes.c_uint64] + [u64_p] * 6,
+                None,
+            ),
+            (
+                "hexl_tpu_generate_primes",
+                [ctypes.c_int, ctypes.c_int, ctypes.c_uint64, u64_p],
+                ctypes.c_int,
+            ),
+        ]:
+            fn = getattr(L, name)
+            fn.argtypes = argtypes
+            fn.restype = restype
+
+    # ------------------------------------------------------------- API ----
+
+    def acquire(self):
+        self.lib.hexl_tpu_acquire()
+
+    def release(self):
+        self.lib.hexl_tpu_release()
+
+    def dyadic_multiply(self, op1, op2, n, moduli, worksize_batch=None):
+        """One or more dyadic multiplies; returns [3][n_moduli][n] array(s)."""
+        moduli = np.ascontiguousarray(moduli, dtype=np.uint64)
+        n_moduli = len(moduli)
+        ops1 = op1 if isinstance(op1, list) else [op1]
+        ops2 = op2 if isinstance(op2, list) else [op2]
+        outs = [np.zeros(3 * n_moduli * n, dtype=np.uint64) for _ in ops1]
+        self.lib.hexl_tpu_set_worksize_dyadic_multiply(len(ops1))
+        keep = []
+        for a, b, o in zip(ops1, ops2, outs):
+            a = np.ascontiguousarray(a, dtype=np.uint64)
+            b = np.ascontiguousarray(b, dtype=np.uint64)
+            keep += [a, b]
+            self.lib.hexl_tpu_dyadic_multiply(
+                _np_ptr(o), _np_ptr(a), _np_ptr(b), n, _np_ptr(moduli), n_moduli
+            )
+        self.lib.hexl_tpu_dyadic_multiply_completed()
+        return outs if isinstance(op1, list) else outs[0]
+
+    def keyswitch(self, result, t_target, n, L, K, rns, comp, moduli,
+                  k_switch_keys, modswitch_factors, twiddle_factors=None):
+        result = np.ascontiguousarray(result, dtype=np.uint64).copy()
+        t_target = np.ascontiguousarray(t_target, dtype=np.uint64)
+        moduli = np.ascontiguousarray(moduli, dtype=np.uint64)
+        msf = np.ascontiguousarray(modswitch_factors, dtype=np.uint64)
+        keys = [np.ascontiguousarray(k, dtype=np.uint64) for k in k_switch_keys]
+        key_arr = (u64_p * len(keys))(*[_np_ptr(k) for k in keys])
+        tw = (
+            np.ascontiguousarray(twiddle_factors, dtype=np.uint64)
+            if twiddle_factors is not None
+            else None
+        )
+        self.lib.hexl_tpu_set_worksize_keyswitch(1)
+        self.lib.hexl_tpu_keyswitch(
+            _np_ptr(result), _np_ptr(t_target), n, L, K, rns, comp,
+            _np_ptr(moduli), key_arr, _np_ptr(msf),
+            _np_ptr(tw) if tw is not None else None,
+        )
+        self.lib.hexl_tpu_keyswitch_completed()
+        return result
+
+    def ntt(self, operand, roots, precon, q, n):
+        operand = np.ascontiguousarray(operand, dtype=np.uint64).copy()
+        roots = np.ascontiguousarray(roots, dtype=np.uint64)
+        precon = np.ascontiguousarray(precon, dtype=np.uint64)
+        self.lib.hexl_tpu_set_worksize_ntt(1)
+        self.lib.hexl_tpu_ntt(_np_ptr(operand), _np_ptr(roots), _np_ptr(precon), q, n)
+        self.lib.hexl_tpu_ntt_completed()
+        return operand
+
+    def intt(self, operand, inv_roots, precon, q, inv_n, inv_n_w, n):
+        operand = np.ascontiguousarray(operand, dtype=np.uint64).copy()
+        inv_roots = np.ascontiguousarray(inv_roots, dtype=np.uint64)
+        precon = np.ascontiguousarray(precon, dtype=np.uint64)
+        self.lib.hexl_tpu_set_worksize_intt(1)
+        self.lib.hexl_tpu_intt(
+            _np_ptr(operand), _np_ptr(inv_roots), _np_ptr(precon), q,
+            inv_n, inv_n_w, n,
+        )
+        self.lib.hexl_tpu_intt_completed()
+        return operand
+
+    def make_ntt_tables(self, n, q):
+        fwd = np.zeros(n, dtype=np.uint64)
+        fwd_p = np.zeros(n, dtype=np.uint64)
+        inv = np.zeros(n, dtype=np.uint64)
+        inv_p = np.zeros(n, dtype=np.uint64)
+        inv_n = ctypes.c_uint64()
+        inv_n_w = ctypes.c_uint64()
+        self.lib.hexl_tpu_make_ntt_tables(
+            n, q, _np_ptr(fwd), _np_ptr(fwd_p), _np_ptr(inv), _np_ptr(inv_p),
+            ctypes.byref(inv_n), ctypes.byref(inv_n_w),
+        )
+        return fwd, fwd_p, inv, inv_p, inv_n.value, inv_n_w.value
+
+    # ----------------------------------------------- accelerator backend --
+
+    def register_jax_backend(self):
+        """Install the JAX executors as the C++ runtime's accelerator backend.
+
+        Callbacks run on C++ worker threads (ctypes reacquires the GIL); they
+        read the op structs, run the batched XLA computations, and write the
+        results back through the caller's pointers."""
+        from .ops import dyadic_jax, keyswitch_jax, ntt_jax
+
+        def _view(ptr, count):
+            return np.ctypeslib.as_array(ptr, shape=(count,))
+
+        def run_dyadic(ctx, ops, count):
+            try:
+                n = ops[0].n
+                M = ops[0].n_moduli
+                moduli = _view(ops[0].moduli, M).copy()
+                op1 = np.stack(
+                    [_view(ops[i].operand1, 2 * M * n).reshape(2, M, n)
+                     for i in range(count)]
+                )
+                op2 = np.stack(
+                    [_view(ops[i].operand2, 2 * M * n).reshape(2, M, n)
+                     for i in range(count)]
+                )
+                out = dyadic_jax.dyadic_multiply_batched(
+                    op1, op2, np.broadcast_to(moduli, (count, M))
+                )
+                out = np.asarray(out).reshape(count, -1)
+                for i in range(count):
+                    _view(ops[i].results, 3 * M * n)[:] = out[i]
+                return 1
+            except Exception:  # decline -> native fallback
+                return 0
+
+        def run_keyswitch(ctx, ops, count):
+            try:
+                o = ops[0]
+                n, L, K = o.n, o.decomp_modulus_size, o.key_modulus_size
+                comp = o.key_component_count
+                moduli = _view(o.moduli, K).copy()
+                tw = (
+                    _view(o.twiddle_factors, K * 4 * n).copy()
+                    if o.twiddle_factors
+                    else None
+                )
+                kctx = keyswitch_jax.get_context(
+                    int(n), int(L), int(K), int(o.rns_modulus_size), int(comp),
+                    moduli, tw,
+                )
+                keys = [
+                    _view(o.k_switch_keys[i], comp * K * n).copy()
+                    for i in range(L)
+                ]
+                msf = _view(o.modswitch_factors, K).copy()
+                ts = np.stack(
+                    [_view(ops[i].t_target, L * n).copy() for i in range(count)]
+                )
+                rs = np.stack(
+                    [_view(ops[i].result, comp * L * n).copy()
+                     for i in range(count)]
+                )
+                out = kctx.run_batch(rs, ts, keys, msf)
+                for i in range(count):
+                    _view(ops[i].result, comp * L * n)[:] = out[i]
+                return 1
+            except Exception:
+                return 0
+
+        def run_ntt(ctx, ops, count, inverse):
+            try:
+                o = ops[0]
+                n, q = o.n, o.coeff_modulus
+                operands = np.stack(
+                    [_view(ops[i].operand, n).copy() for i in range(count)]
+                )
+                roots = _view(o.root_powers, n).copy()
+                precon = _view(o.precon_root_powers, n).copy()
+                if inverse:
+                    out = ntt_jax.inv_ntt_with_tables(
+                        operands, int(q), roots, precon, int(o.inv_n),
+                        int(o.inv_n_w),
+                    )
+                else:
+                    out = ntt_jax.fwd_ntt_with_tables(
+                        operands, int(q), roots, precon
+                    )
+                for i in range(count):
+                    _view(ops[i].operand, n)[:] = out[i]
+                return 1
+            except Exception:
+                return 0
+
+        backend = BackendV1(
+            run_dyadic_batch=DYADIC_CB(run_dyadic),
+            run_keyswitch_batch=KEYSWITCH_CB(run_keyswitch),
+            run_ntt_batch=NTT_CB(run_ntt),
+            ctx=None,
+        )
+        self._keepalive.append(backend)  # callbacks must outlive the runtime
+        self.lib.hexl_tpu_register_backend(ctypes.byref(backend))
+
+    def clear_backend(self):
+        self.lib.hexl_tpu_register_backend(None)
