@@ -29,22 +29,22 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from hexl_fpga_tpu.ops import golden, nt, ntt_pallas, word64 as w
+    from hexl_fpga_tpu.ops import golden, nt, ntt_mxu_pallas, word64 as w
     from hexl_fpga_tpu.utils.retry import call_with_retry
 
     n = 16384
     q = nt.generate_primes(1, 52, n)[0]
     B = int(os.environ.get("BENCH_BATCH", 512))
-    TB = int(os.environ.get("BENCH_TILE", 32))
+    TP = int(os.environ.get("BENCH_TILE_P", 4))
     rng = np.random.default_rng(0)
     a = rng.integers(0, q, size=(B, n), dtype=np.uint64)
 
     log(f"devices: {jax.devices()}")
-    log(f"bench: fwd NTT n={n} q={q} batch={B} tile_b={TB}")
+    log(f"bench: fwd NTT (fused MXU four-step) n={n} q={q} batch={B} tile_p={TP}")
 
     lo, hi = w.to_pair_np(a)
     lo, hi = jnp.asarray(lo), jnp.asarray(hi)
-    fn = ntt_pallas.fwd_ntt_fn(n, int(q), TB)
+    fn = ntt_mxu_pallas.fwd_ntt_fn(n, int(q), TP)
 
     t0 = time.time()
     out = call_with_retry(fn, lo, hi)

@@ -1,0 +1,79 @@
+"""Bit-exactness tests for the MXU four-step NTT (ops/ntt_mxu.py) and its
+fused Pallas form (ops/ntt_mxu_pallas.py, interpret mode on CPU).
+
+Oracle: the golden scalar model (ops/golden.py), itself validated against
+the reference semantics (`tests/test_utils/ntt.cpp`)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hexl_fpga_tpu.ops import golden, nt, ntt_mxu, word64 as w
+
+
+def _roundtrip_case(n, n1, bits, seed=0, B=3):
+    q = nt.generate_primes(1, bits, n)[0]
+    plan = ntt_mxu.make_plan(n, q, n1)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, q, size=(B, n), dtype=np.uint64)
+    lo, hi = w.to_pair_np(a)
+    f = jax.jit(lambda lo, hi: ntt_mxu.fwd_ntt_core((lo, hi), n, q, plan))
+    olo, ohi = f(lo, hi)
+    got = w.from_pair_np(np.asarray(olo), np.asarray(ohi))
+    want = golden.fwd_ntt(a, q)
+    np.testing.assert_array_equal(got, want)
+    g = jax.jit(lambda lo, hi: ntt_mxu.inv_ntt_core((lo, hi), n, q, plan))
+    ilo, ihi = g(*w.to_pair_np(want))
+    back = w.from_pair_np(np.asarray(ilo), np.asarray(ihi))
+    np.testing.assert_array_equal(back, a)
+
+
+@pytest.mark.parametrize(
+    "n,n1,bits",
+    [
+        (256, 16, 20),
+        (256, 16, 30),
+        (256, 16, 52),
+        (512, 16, 45),
+        (1024, 32, 52),
+    ],
+)
+def test_mxu_ntt_roundtrip(n, n1, bits):
+    _roundtrip_case(n, n1, bits)
+
+
+def test_mxu_ntt_stimulus_patterns():
+    """Reference stimulus matrix (`tests/test_fwd_ntt.cpp:15-62`)."""
+    n, n1 = 256, 16
+    q = nt.generate_primes(1, 48, n)[0]
+    plan = ntt_mxu.make_plan(n, q, n1)
+    pats = [
+        np.zeros(n, dtype=np.uint64),
+        np.ones(n, dtype=np.uint64),
+        np.full(n, q - 1, dtype=np.uint64),
+        np.arange(n, dtype=np.uint64) % np.uint64(q),
+    ]
+    imp = np.zeros(n, dtype=np.uint64)
+    imp[0] = 1
+    pats.append(imp)
+    a = np.stack(pats)
+    lo, hi = w.to_pair_np(a)
+    f = jax.jit(lambda lo, hi: ntt_mxu.fwd_ntt_core((lo, hi), n, q, plan))
+    olo, ohi = f(lo, hi)
+    got = w.from_pair_np(np.asarray(olo), np.asarray(ohi))
+    np.testing.assert_array_equal(got, golden.fwd_ntt(a, q))
+
+
+def test_mxu_pallas_interpret_matches_golden():
+    """Fused Pallas kernel in interpreter mode (CPU backend)."""
+    from hexl_fpga_tpu.ops import ntt_mxu_pallas
+
+    n = 1024  # n1=128 -> n2=8
+    q = nt.generate_primes(1, 45, n)[0]
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, q, size=(4, n), dtype=np.uint64)
+    got = ntt_mxu_pallas.fwd_ntt(a, q, tile_p=2, interpret=True)
+    np.testing.assert_array_equal(got, golden.fwd_ntt(a, q))
+    back = ntt_mxu_pallas.inv_ntt(got, q, tile_p=2, interpret=True)
+    np.testing.assert_array_equal(back, a)
