@@ -33,7 +33,7 @@ def main():
     from hexl_fpga_tpu.utils.retry import call_with_retry
 
     n = 16384
-    q = nt.generate_primes(1, 52, n)[0]
+    q = nt.generate_primes(1, 51, n)[0]
     B = int(os.environ.get("BENCH_BATCH", 512))
     TP = int(os.environ.get("BENCH_TILE_P", 4))
     rng = np.random.default_rng(0)

@@ -1,0 +1,38 @@
+"""Inverse-NTT throughput (reference `benchmark/bench_inv_ntt.cpp`):
+N=16384, worksize batch, 52-bit prime, fused MXU kernel."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from common import emit, log, time_fn  # noqa: E402
+
+
+def main():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hexl_fpga_tpu.ops import golden, nt, ntt_mxu_pallas, word64 as w
+
+    n = int(os.environ.get("N", 16384))
+    ws = int(os.environ.get("WORKSIZE", 4096))
+    tp = int(os.environ.get("TILE_P", 4))
+    q = nt.generate_primes(1, 51, n)[0]
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, q, size=(ws, n), dtype=np.uint64)
+    y = golden.fwd_ntt(a, q)
+    lo, hi = w.to_pair_np(y)
+    lo, hi = jnp.asarray(lo), jnp.asarray(hi)
+    fn = ntt_mxu_pallas.inv_ntt_fn(n, int(q), tp)
+    out = fn(lo, hi)
+    back = w.from_pair_np(np.asarray(out[0][:2]), np.asarray(out[1][:2]))
+    np.testing.assert_array_equal(back, a[:2])
+    log("bit-exact OK")
+    dt = time_fn(fn, lo, hi, iters=int(os.environ.get("ITERS", 20)))
+    emit("inv_ntt_throughput", ws / dt, "INTT/s", n=n, worksize=ws,
+         ms_per_batch=round(dt * 1e3, 3))
+
+
+if __name__ == "__main__":
+    main()

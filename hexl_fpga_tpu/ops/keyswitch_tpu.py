@@ -1,0 +1,288 @@
+"""KeySwitch on TPU: fused MXU NTT kernels composed with XLA glue.
+
+This is the production keyswitch path (the pure-XLA composition in
+keyswitch_jax.py is the readable reference implementation; its monolithic
+butterfly graph does not compile tractably at N=16384, decomp=6).
+
+Mapping from the reference's ~30-kernel FPGA dataflow (SURVEY.md §3.3):
+
+  FPGA                              here
+  ----                              ----
+  INTT1 engine (serial over i)      ONE fused-Pallas INTT per decomp modulus,
+                                    batched over the ops in flight
+  intt1_redu + 7x NTT engines       Barrett reduce in XLA + ONE batched
+                                    fused-Pallas NTT per modulus; all L
+                                    source limbs ride one kernel call
+  7x dyadmult MAC engines           unrolled exact mul_mod_static + add_mod
+                                    in XLA (fused elementwise)
+  INTT2 (special modulus)           batched fused-Pallas INTT under q_k
+  intt2_redu + NTT engines 7,8      the +qk/2 / +fix reduction in XLA; the
+                                    final NTTs CONCATENATED into the same
+                                    per-modulus kernel call as the engine
+                                    NTTs would be — the special-engine chain
+                                    runs first so per-q_i work batches once
+  ms + store + host accumulate      modswitch multiply + accumulate in XLA
+
+The schedule reorders the reference's engine-parallel pipeline into
+special-engine-first so that, per decomp modulus q_i, the (L-1) engine
+transforms and the 2 tail transforms share one Pallas dispatch: 14 Mosaic
+kernels total for the 16384_6_7_7_2 benchmark config instead of 56
+transform instances.
+
+Bit-exact with the golden model; caller twiddle tables are honored by
+deriving the 2n-th root from the table (fwd[bit_reverse(1)] = psi) and
+rebuilding the four-step plan from it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import nt, ntt_mxu_pallas, twiddles, word64 as w
+
+Pair = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def _pad_rows(lo, hi, mult: int):
+    B = lo.shape[0]
+    pad = (-B) % mult
+    if pad:
+        lo = jnp.concatenate([lo, jnp.zeros((pad,) + lo.shape[1:], lo.dtype)])
+        hi = jnp.concatenate([hi, jnp.zeros((pad,) + hi.shape[1:], hi.dtype)])
+    return lo, hi, B
+
+
+class KeySwitchTpuContext:
+    """Compiled TPU keyswitch for one static configuration.
+
+    Same fence semantics as the reference scheduler: keyed by
+    (n, decomp, key_modulus, rns, components, moduli, twiddles)."""
+
+    def __init__(
+        self,
+        n: int,
+        decomp_modulus_size: int,
+        key_modulus_size: int,
+        rns_modulus_size: int,
+        key_component_count: int,
+        moduli: Sequence[int],
+        twiddle_factors: Optional[np.ndarray] = None,
+        tile_p: int = 4,
+        interpret: bool = False,
+    ):
+        assert key_component_count == 2, "key_component_count must be 2"
+        self.n = n
+        self.L = decomp_modulus_size
+        self.K = key_modulus_size
+        self.comp = key_component_count
+        self.moduli = tuple(int(m) for m in moduli)
+        self.tile_p = tile_p
+        self.interpret = interpret
+        assert self.K - 1 >= self.L, "special modulus must not be a decomp modulus"
+        # 2n-th roots: derived from the caller's tables when provided
+        # (fwd[bit_reverse(1)] = psi), else the canonical minimal root
+        if twiddle_factors is not None:
+            view = twiddles.decode_keyswitch_twiddles(twiddle_factors, n, self.K)
+            self.psi = [int(view.fwd[j][n // 2]) for j in range(self.K)]
+        else:
+            self.psi = [None] * self.K
+        self.qk = self.moduli[self.K - 1]
+        self.qk_half = self.qk >> 1
+        self.q_barr = [nt.barrett_factor(1, 64, q) for q in self.moduli]
+        # fused-Pallas transform callables (unjitted; composed in one jit)
+        self._fwd = [
+            ntt_mxu_pallas.raw_fwd_call(n, q, tile_p, psi=self.psi[j],
+                                        interpret=interpret)
+            for j, q in enumerate(self.moduli)
+        ]
+        self._inv = [
+            ntt_mxu_pallas.raw_inv_call(n, q, tile_p, psi=self.psi[j],
+                                        interpret=interpret)
+            for j, q in enumerate(self.moduli)
+        ]
+        self._fn = jax.jit(self._build)
+
+    # -- jitted body --------------------------------------------------------
+
+    def _transform(self, which, j, lo, hi):
+        """Run a fused transform under modulus j on (Bx, n) with padding."""
+        lo, hi, B = _pad_rows(lo, hi, self.tile_p)
+        olo, ohi = which[j](lo, hi)
+        return olo[:B], ohi[:B]
+
+    def _build(self, t_lo, t_hi, keys_lo, keys_hi, res_lo, res_hi,
+               msf_lo, msf_hi):
+        """t: (B, L, n); keys: (L, comp, K, n); res: (B, comp, L, n);
+        msf: (K,) reduced modswitch factors."""
+        n, L, K, comp = self.n, self.L, self.K, self.comp
+        B = t_lo.shape[0]
+        moduli = self.moduli
+        qk, qk_half = self.qk, self.qk_half
+
+        def tp(i):
+            return (t_lo[:, i, :], t_hi[:, i, :])
+
+        # INTT1 per decomp modulus (batch B each)
+        coeff = [
+            self._transform(self._inv, i, t_lo[:, i, :], t_hi[:, i, :])
+            for i in range(L)
+        ]
+
+        def mac(acc, val, key, q):
+            prod = w.mul_mod_static(val, key, q)
+            return prod if acc is None else w.add_mod(acc, prod, q)
+
+        # ---- special engine first (`dyadmult.hpp` engine K-1 + INTT2) ----
+        sp = K - 1
+        red = [
+            w.barrett_reduce64(coeff[i], qk, self.q_barr[sp]) for i in range(L)
+        ]
+        stack_lo = jnp.concatenate([r[0] for r in red])  # (L*B, n)
+        stack_hi = jnp.concatenate([r[1] for r in red])
+        vlo, vhi = self._transform(self._fwd, sp, stack_lo, stack_hi)
+        acc_sp = [None] * comp
+        for i in range(L):
+            val = (vlo[i * B : (i + 1) * B], vhi[i * B : (i + 1) * B])
+            for k in range(comp):
+                key = (keys_lo[i, k, sp, :], keys_hi[i, k, sp, :])
+                acc_sp[k] = mac(acc_sp[k], val, key, qk)
+        # INTT2 over both components in one call
+        dlo, dhi = self._transform(
+            self._inv, sp,
+            jnp.concatenate([acc_sp[k][0] for k in range(comp)]),
+            jnp.concatenate([acc_sp[k][1] for k in range(comp)]),
+        )
+        e = w.add_mod((dlo, dhi), qk_half, qk)  # (comp*B, n)
+
+        # ---- per decomp modulus: engine NTTs + tail NTTs in ONE call ----
+        out_lo = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
+        out_hi = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
+        for j in range(L):
+            q = moduli[j]
+            fix = q - (qk_half % q)
+            parts_lo, parts_hi = [], []
+            others = [i for i in range(L) if i != j]
+            for i in others:
+                r = w.barrett_reduce64(coeff[i], q, self.q_barr[j])
+                parts_lo.append(r[0])
+                parts_hi.append(r[1])
+            f = w.barrett_reduce64(w.add64(e, fix), q, self.q_barr[j])
+            parts_lo.append(f[0])  # (comp*B, n) tail transforms
+            parts_hi.append(f[1])
+            vlo, vhi = self._transform(
+                self._fwd, j, jnp.concatenate(parts_lo),
+                jnp.concatenate(parts_hi),
+            )
+            # engine MAC over decomp (identity i == j uses t directly,
+            # INTT_q then NTT_q being the identity on canonical inputs)
+            acc = [None] * comp
+            for idx, i in enumerate(others):
+                val = (vlo[idx * B : (idx + 1) * B],
+                       vhi[idx * B : (idx + 1) * B])
+                for k in range(comp):
+                    key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
+                    acc[k] = mac(acc[k], val, key, q)
+            for k in range(comp):
+                key = (keys_lo[j, k, j, :], keys_hi[j, k, j, :])
+                acc[k] = mac(acc[k], tp(j), key, q)
+            # modswitch tail (`ms.hpp:27-84`) + host-style accumulate
+            off = len(others) * B
+            for k in range(comp):
+                g = (vlo[off + k * B : off + (k + 1) * B],
+                     vhi[off + k * B : off + (k + 1) * B])
+                t1 = w.reduce_mod_factor(
+                    w.add64(w.sub64(acc[k], g), 4 * q), q, 8
+                )
+                msf = (msf_lo[j], msf_hi[j])
+                delta = w.mul_mod_static(t1, msf, q)
+                r_in = (res_lo[:, k, j, :], res_hi[:, k, j, :])
+                r_out = w.cond_sub64(w.add64(r_in, delta), q)
+                out_lo = out_lo.at[:, k, j, :].set(r_out[0])
+                out_hi = out_hi.at[:, k, j, :].set(r_out[1])
+        return out_lo, out_hi
+
+    # -- numpy wrappers (same surface as keyswitch_jax.KeySwitchContext) ----
+
+    def prepare_keys(self, k_switch_keys):
+        keys = np.stack(
+            [
+                np.asarray(kv, dtype=np.uint64).reshape(self.comp, self.K, self.n)
+                for kv in k_switch_keys
+            ]
+        )
+        return w.to_pair_np(keys)
+
+    def device_keys(self, k_switch_keys):
+        """Upload-once key cache, keyed by the key buffers' identity — the
+        analog of the reference's pointer-keyed keys_map_
+        (`host/src/fpga.cpp:1158-1165`)."""
+        if not hasattr(self, "_key_cache"):
+            self._key_cache = {}
+        kid = tuple(id(k) for k in k_switch_keys)
+        hit = self._key_cache.get(kid)
+        if hit is None:
+            klo, khi = self.prepare_keys(k_switch_keys)
+            hit = (jnp.asarray(klo), jnp.asarray(khi))
+            self._key_cache = {kid: hit}  # single-slot like a fresh fence
+        return hit
+
+    def prepare_msf(self, modswitch_factors):
+        msf = np.array(
+            [int(m) % q for m, q in zip(modswitch_factors, self.moduli)],
+            dtype=np.uint64,
+        )
+        return w.to_pair_np(msf)
+
+    def run(self, result, t_target, k_switch_keys, modswitch_factors):
+        return self.run_batch(
+            np.asarray(result, dtype=np.uint64)[None],
+            np.asarray(t_target, dtype=np.uint64)[None],
+            k_switch_keys,
+            modswitch_factors,
+        )[0]
+
+    def run_batch(self, results, t_targets, k_switch_keys, modswitch_factors):
+        B = results.shape[0]
+        n, L = self.n, self.L
+        t = w.to_pair_np(np.asarray(t_targets, dtype=np.uint64).reshape(B, L, n))
+        r = w.to_pair_np(
+            np.asarray(results, dtype=np.uint64).reshape(B, self.comp, L, n)
+        )
+        klo, khi = self.device_keys(k_switch_keys)
+        mlo, mhi = self.prepare_msf(modswitch_factors)
+        olo, ohi = self._fn(t[0], t[1], klo, khi, r[0], r[1], mlo, mhi)
+        return w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(B, -1)
+
+
+@functools.lru_cache(maxsize=16)
+def _context_cached(n, L, K, rns, comp, moduli, tw_key, tile_p, interpret):
+    tw = _TWIDDLE_STASH.get(tw_key) if tw_key is not None else None
+    return KeySwitchTpuContext(
+        n, L, K, rns, comp, list(moduli), tw, tile_p, interpret
+    )
+
+
+_TWIDDLE_STASH: dict = {}
+
+
+def get_context(
+    n, decomp_modulus_size, key_modulus_size, rns_modulus_size,
+    key_component_count, moduli, twiddle_factors=None, tile_p: int = 4,
+    interpret: bool = False,
+) -> KeySwitchTpuContext:
+    if twiddle_factors is not None:
+        tw = np.ascontiguousarray(np.asarray(twiddle_factors, dtype=np.uint64))
+        tw_key = hash(tw.tobytes())
+        _TWIDDLE_STASH[tw_key] = tw
+    else:
+        tw_key = None
+    return _context_cached(
+        n, decomp_modulus_size, key_modulus_size, rns_modulus_size,
+        key_component_count, tuple(int(m) for m in moduli), tw_key, tile_p,
+        interpret,
+    )

@@ -90,12 +90,18 @@ def _w_tables(W: np.ndarray, q: int):
 
 
 @functools.lru_cache(maxsize=None)
-def make_plan(n: int, q: int, n1: int = 128):
-    """All precomputed constants for fwd+inv four-step NTT at (n, q)."""
+def make_plan(n: int, q: int, n1: int = 128, psi: int | None = None):
+    """All precomputed constants for fwd+inv four-step NTT at (n, q).
+
+    psi overrides the 2n-th root (e.g. derived from a caller twiddle table:
+    the golden-layout forward table stores psi at index bit_reverse(1) = n/2,
+    so any table-defined transform is reproduced exactly)."""
     assert n % n1 == 0
     n2 = n // n1
     b1, b2 = nt.log2_exact(n1), nt.log2_exact(n2)
-    psi = nt.minimal_primitive_root(2 * n, q)
+    if psi is None:
+        psi = nt.minimal_primitive_root(2 * n, q)
+    assert nt.is_primitive_root(psi, 2 * n, q), "psi must be a 2n-th root"
     omega = pow(psi, 2, q)
     psi_inv = nt.inverse_mod(psi, q)
     omega_inv = nt.inverse_mod(omega, q)

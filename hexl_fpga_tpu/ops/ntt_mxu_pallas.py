@@ -330,9 +330,9 @@ def _pick_n1(n: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def fwd_ntt_fn(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
-               interpret: bool = False):
+               interpret: bool = False, psi: int | None = None):
     """Jitted fused forward NTT: (lo, hi) (B, n) u32 pairs, B % tile_p == 0."""
-    plan = make_plan(n, q, _pick_n1(n))
+    plan = make_plan(n, q, _pick_n1(n), psi)
     kernel = _fwd_kernel(n, q, tile_p, plan)
     call = _make_call(kernel, plan["n1"], plan["n2"], tile_p,
                       _fwd_tabs(plan, tile_p), interpret)
@@ -341,12 +341,30 @@ def fwd_ntt_fn(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
 
 @functools.lru_cache(maxsize=None)
 def inv_ntt_fn(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
-               interpret: bool = False):
-    plan = make_plan(n, q, _pick_n1(n))
+               interpret: bool = False, psi: int | None = None):
+    plan = make_plan(n, q, _pick_n1(n), psi)
     kernel = _inv_kernel(n, q, tile_p, plan)
     call = _make_call(kernel, plan["n1"], plan["n2"], tile_p, _inv_tabs(plan),
                       interpret)
     return jax.jit(call)
+
+
+def raw_fwd_call(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
+                 psi: int | None = None, interpret: bool = False):
+    """Unjitted fused-forward callable for composition inside a larger jit."""
+    plan = make_plan(n, q, _pick_n1(n), psi)
+    kernel = _fwd_kernel(n, q, tile_p, plan)
+    return _make_call(kernel, plan["n1"], plan["n2"], tile_p,
+                      _fwd_tabs(plan, tile_p), interpret)
+
+
+def raw_inv_call(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
+                 psi: int | None = None, interpret: bool = False):
+    """Unjitted fused-inverse callable for composition inside a larger jit."""
+    plan = make_plan(n, q, _pick_n1(n), psi)
+    kernel = _inv_kernel(n, q, tile_p, plan)
+    return _make_call(kernel, plan["n1"], plan["n2"], tile_p, _inv_tabs(plan),
+                      interpret)
 
 
 # numpy wrappers -------------------------------------------------------------

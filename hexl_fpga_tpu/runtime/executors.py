@@ -18,6 +18,15 @@ from ..ops import dyadic_jax, golden, keyswitch_jax, ntt_jax
 from . import scheduler as sched
 
 
+def _tpu_available() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
 def make_executor(run_choice: int, device_index: int):
     if run_choice == 0:
         return GoldenExecutor()
@@ -80,6 +89,9 @@ class JaxExecutor(_Base):
         else:
             devs = jax.devices()
         self.device = devs[device_index % len(devs)]
+        # accelerated tier uses the fused MXU kernels; the emulation tier
+        # keeps the pure-XLA composition (Mosaic kernels don't target CPU)
+        self.accelerated = not force_cpu and self.device.platform != "cpu"
 
     def _ctx(self):
         return self._jax.default_device(self.device)
@@ -108,9 +120,19 @@ class JaxExecutor(_Base):
         with self._ctx():
             a = batch[0].args
             ops = np.stack([np.asarray(i.args["operand"], dtype=np.uint64) for i in batch])
-            out = ntt_jax.fwd_ntt_with_tables(
-                ops, a["coeff_modulus"], a["root_of_unity_powers"], a["precon"]
-            )
+            n, q = a["n"], a["coeff_modulus"]
+            if self.accelerated and n >= 1024:
+                from ..ops import ntt_mxu_pallas
+
+                # golden-layout table stores the 2n-th root at bit_reverse(1)
+                psi = int(np.asarray(a["root_of_unity_powers"])[n >> 1])
+                fn = ntt_mxu_pallas.fwd_ntt_fn(n, int(q), psi=psi)
+                out = ntt_mxu_pallas._run(fn, ops, q,
+                                          ntt_mxu_pallas.DEFAULT_TILE_P)
+            else:
+                out = ntt_jax.fwd_ntt_with_tables(
+                    ops, q, a["root_of_unity_powers"], a["precon"]
+                )
             for b, item in enumerate(batch):
                 np.copyto(item.args["operand"], out[b])
 
@@ -118,21 +140,39 @@ class JaxExecutor(_Base):
         with self._ctx():
             a = batch[0].args
             ops = np.stack([np.asarray(i.args["operand"], dtype=np.uint64) for i in batch])
-            out = ntt_jax.inv_ntt_with_tables(
-                ops,
-                a["coeff_modulus"],
-                a["inv_root_of_unity_powers"],
-                a["precon"],
-                a["inv_n"],
-                a["inv_n_w"],
-            )
+            n, q = a["n"], a["coeff_modulus"]
+            if self.accelerated and n >= 1024:
+                from ..ops import nt as _nt, ntt_mxu_pallas
+
+                # scan-order inverse table: inv[1] = psi^{-1}
+                psi = _nt.inverse_mod(
+                    int(np.asarray(a["inv_root_of_unity_powers"])[1]), int(q)
+                )
+                fn = ntt_mxu_pallas.inv_ntt_fn(n, int(q), psi=psi)
+                out = ntt_mxu_pallas._run(fn, ops, q,
+                                          ntt_mxu_pallas.DEFAULT_TILE_P)
+            else:
+                out = ntt_jax.inv_ntt_with_tables(
+                    ops,
+                    q,
+                    a["inv_root_of_unity_powers"],
+                    a["precon"],
+                    a["inv_n"],
+                    a["inv_n_w"],
+                )
             for b, item in enumerate(batch):
                 np.copyto(item.args["operand"], out[b])
 
     def run_keyswitch(self, batch):
         with self._ctx():
             a = batch[0].args
-            ctx = keyswitch_jax.get_context(
+            if self.accelerated:
+                from ..ops import keyswitch_tpu
+
+                get_context = keyswitch_tpu.get_context
+            else:
+                get_context = keyswitch_jax.get_context
+            ctx = get_context(
                 a["n"],
                 a["decomp_modulus_size"],
                 a["key_modulus_size"],

@@ -52,6 +52,8 @@ class KeySwitchVector:
 
 
 def _negacyclic_mul(a: List[int], b: List[int], q: int) -> List[int]:
+    """Exact negacyclic product mod q (schoolbook; used only for tiny n in
+    RLWE-level verification — key generation below uses the NTT instead)."""
     n = len(a)
     out = [0] * n
     for i, ai in enumerate(a):
@@ -64,6 +66,11 @@ def _negacyclic_mul(a: List[int], b: List[int], q: int) -> List[int]:
             else:
                 out[k - n] = (out[k - n] - ai * bj) % q
     return out
+
+
+def _mul_mod_obj(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
+    """Elementwise (a * b) mod q, exact via python-int object arrays."""
+    return ((a.astype(object) * b.astype(object)) % q).astype(np.uint64)
 
 
 def make_keyswitch_vector(
@@ -99,7 +106,11 @@ def make_keyswitch_vector(
     s_new = [int(v) for v in rng.integers(-1, 2, size=n)]
     s_old = [int(v) for v in rng.integers(-1, 2, size=n)]
 
-    # switching keys: key[i] = (-(a_i*s_new) + e_i [+ P*s_old on limb i], a_i)
+    # switching keys: key[i] = (-(a_i*s_new) + e_i [+ P*s_old on limb i], a_i).
+    # The negacyclic product -a*s is computed in the NTT domain (elementwise
+    # multiply of the transforms — exact, and O(n log n) instead of the
+    # schoolbook O(n^2) which is intractable at n=16384).
+    sn_ntt = [to_ntt(s_new, j) for j in range(K)]
     key_vectors = []
     for i in range(L):
         a_int = [int(rng.integers(0, 1 << 62)) % QP for _ in range(n)]
@@ -108,12 +119,16 @@ def make_keyswitch_vector(
         comp1 = np.zeros((K, n), dtype=np.uint64)
         for j in range(K):
             q = moduli[j]
-            b = _negacyclic_mul([(-x) % q for x in a_int], s_new, q)
-            b = [(bv + ev) % q for bv, ev in zip(b, e)]
-            if j == i:
-                b = [(bv + P * sv) % q for bv, sv in zip(b, s_old)]
-            comp0[j] = to_ntt(b, j)
-            comp1[j] = to_ntt(a_int, j)
+            a_ntt = to_ntt(a_int, j)
+            comp1[j] = a_ntt
+            neg_a_ntt = np.where(a_ntt == 0, 0, np.uint64(q) - a_ntt)
+            b = golden.inv_ntt(_mul_mod_obj(neg_a_ntt, sn_ntt[j], q), q, tabs[j])
+            add = np.array(
+                [(ev + (P * sv if j == i else 0)) % q for ev, sv in zip(e, s_old)],
+                dtype=np.uint64,
+            )
+            b = ((b.astype(object) + add.astype(object)) % q).astype(np.uint64)
+            comp0[j] = golden.fwd_ntt(b, q, tabs[j])
         key_vectors.append(np.concatenate([comp0.ravel(), comp1.ravel()]))
 
     # target polynomial t (the ciphertext component being switched), as limbs
