@@ -11,14 +11,17 @@
 #include <memory>
 
 #include "runtime.hpp"
+#include "stack_trace.hpp"
 
 namespace {
 
 void Check(bool cond, const char* msg) {
   // FPGA_ASSERT analog (`host/inc/fpga_assert.h:18-45`): always on here —
-  // argument errors abort with a message rather than corrupt memory.
+  // argument errors abort with a demangled backtrace rather than corrupt
+  // memory (reference StackTrace_Impl, `host/src/stack_trace.cpp:19-80`).
   if (!cond) {
     std::fprintf(stderr, "hexl-tpu assertion failed: %s\n", msg);
+    hexl_tpu::print_stack_trace();
     std::abort();
   }
 }

@@ -1,0 +1,299 @@
+"""Minimal CKKS scheme on top of the public API — the SEAL-bridge analog.
+
+The reference ships a patch against SEAL v4.0.0 that routes CKKS
+`switch_key_inplace` through `intel::hexl::KeySwitch` and validates the
+integration with a square+rotate precision test
+(`experimental/bridge-seal/patches/hexl-fpga-BRIDGE-seal-4.0.0.patch:246`,
+`tests/keyswitch-example.cpp`).  SEAL itself is not vendored here; instead
+this module implements the same CKKS operations directly so the integration
+is testable end to end:
+
+  * ciphertext x ciphertext multiply  -> api.DyadicMultiply
+  * relinearization / rotation keyswitch -> api.KeySwitch (accumulate
+    semantics, P-gadget switching keys — the exact contract the bridge
+    patch relies on)
+  * encode/decode via the canonical embedding (slot j at zeta^{5^j}),
+    encrypt/decrypt, exact RNS rescale, Galois rotation.
+
+Everything except the two accelerated ops runs in exact host arithmetic
+(python ints / object arrays); the embedding uses complex128 like SEAL's
+CKKSEncoder.  This is an integration surface, not a hardened crypto
+implementation (no floods, no CRT sampling bias fixes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Sequence
+
+import numpy as np
+
+from .. import api
+from ..ops import golden, nt, twiddles
+from ..utils import vectors
+
+
+def _obj(a) -> np.ndarray:
+    return np.asarray(a, dtype=np.uint64).astype(object)
+
+
+def _negacyclic_automorphism(m: List[int], g: int, n: int, Q: int) -> List[int]:
+    """m(X) -> m(X^g) mod (X^n + 1, Q)."""
+    out = [0] * n
+    for k, c in enumerate(m):
+        e = (g * k) % (2 * n)
+        if e < n:
+            out[e] = (out[e] + c) % Q
+        else:
+            out[e - n] = (out[e - n] - c) % Q
+    return out
+
+
+@dataclass
+class Ciphertext:
+    data: np.ndarray  # (2, level+1, n) uint64, NTT domain per limb
+    level: int        # number of active decomp moduli - 1
+    scale: float
+
+
+class CkksContext:
+    """Parameters + keys for one CKKS instantiation.
+
+    moduli: full key-modulus chain — decomp primes q_0..q_{L-1} plus the
+    special prime P as the last entry (the reference keyswitch layout)."""
+
+    def __init__(self, n: int, moduli: Sequence[int], scale: float,
+                 seed: int = 0):
+        self.n = n
+        self.moduli = [int(q) for q in moduli]
+        self.K = len(self.moduli)
+        self.L = self.K - 1            # decomp moduli
+        self.P = self.moduli[-1]
+        self.scale = scale
+        self.slots = n // 2
+        self.tabs = [twiddles.ntt_tables(n, q) for q in self.moduli]
+        self.twiddle_factors = twiddles.keyswitch_twiddles(n, self.moduli)
+        self.modswitch_factors = [
+            nt.inverse_mod(self.P % q, q) if q != self.P else 1
+            for q in self.moduli
+        ]
+        rng = np.random.default_rng(seed)
+        self._rng = rng
+        self.s = [int(v) for v in rng.integers(-1, 2, size=n)]  # ternary
+        # canonical embedding: slot j evaluated at zeta^{5^j}, zeta = e^{i pi/n}
+        e = np.array([pow(5, j, 2 * n) for j in range(self.slots)])
+        k = np.arange(n)
+        self.E = np.exp(1j * np.pi * np.outer(e, k) / n)  # (slots, n)
+
+        # relinearization keys: s^2 -> s
+        s2 = vectors._negacyclic_mul(self.s, self.s, 1 << 127)
+        s2 = [v if v < (1 << 126) else v - (1 << 127) for v in s2]
+        self.relin_keys = self._make_switch_keys(s2)
+        self._rot_keys = {}
+
+    # -- key material --------------------------------------------------------
+
+    def _make_switch_keys(self, s_old: List[int]) -> List[np.ndarray]:
+        """P-gadget switching keys s_old -> s (vectors.py keygen recipe,
+        matching the RLWE contract proven in tests/test_keyswitch_golden)."""
+        n, K, L, P = self.n, self.K, self.L, self.P
+        QP = 1
+        for q in self.moduli:
+            QP *= q
+        rng = self._rng
+        sn_ntt = [
+            golden.fwd_ntt(
+                np.array([v % q for v in self.s], dtype=np.uint64), q,
+                self.tabs[j],
+            )
+            for j, q in enumerate(self.moduli)
+        ]
+        keys = []
+        for i in range(L):
+            a_int = [int(rng.integers(0, 1 << 62)) % QP for _ in range(n)]
+            e = [int(v) for v in rng.integers(-3, 4, size=n)]
+            comp0 = np.zeros((K, n), dtype=np.uint64)
+            comp1 = np.zeros((K, n), dtype=np.uint64)
+            for j, q in enumerate(self.moduli):
+                a_ntt = golden.fwd_ntt(
+                    np.array([v % q for v in a_int], dtype=np.uint64), q,
+                    self.tabs[j],
+                )
+                comp1[j] = a_ntt
+                neg_a = np.where(a_ntt == 0, 0, np.uint64(q) - a_ntt)
+                b = golden.inv_ntt(
+                    ((neg_a.astype(object) * sn_ntt[j].astype(object)) % q
+                     ).astype(np.uint64), q, self.tabs[j],
+                )
+                add = np.array(
+                    [
+                        (ev + (P * sv if j == i else 0)) % q
+                        for ev, sv in zip(e, s_old)
+                    ],
+                    dtype=np.uint64,
+                )
+                b = ((b.astype(object) + add.astype(object)) % q).astype(
+                    np.uint64
+                )
+                comp0[j] = golden.fwd_ntt(b, q, self.tabs[j])
+            keys.append(np.concatenate([comp0.ravel(), comp1.ravel()]))
+        return keys
+
+    def galois_keys(self, r: int) -> List[np.ndarray]:
+        """Rotation keys for a left-rotation by r slots (s(X^g) -> s)."""
+        if r not in self._rot_keys:
+            g = pow(5, r, 2 * self.n)
+            s_g = _negacyclic_automorphism(self.s, g, self.n, 1 << 127)
+            s_g = [v if v < (1 << 126) else v - (1 << 127) for v in s_g]
+            self._rot_keys[r] = self._make_switch_keys(s_g)
+        return self._rot_keys[r]
+
+    # -- encode / decode ------------------------------------------------------
+
+    def encode(self, z, level: int | None = None, scale: float | None = None):
+        """complex vector (slots,) -> integer poly coefficients (list)."""
+        scale = scale or self.scale
+        z = np.asarray(z, dtype=np.complex128)
+        assert z.shape == (self.slots,)
+        m = (2.0 / self.n) * np.real(self.E.conj().T @ z)  # (n,)
+        return [int(round(v * scale)) for v in m]
+
+    def decode(self, m_int: List[int], scale: float) -> np.ndarray:
+        m = np.array([float(v) for v in m_int])
+        return (self.E @ m) / scale
+
+    # -- encrypt / decrypt ----------------------------------------------------
+
+    def _to_ntt_limbs(self, m_int: List[int], nlimbs: int) -> np.ndarray:
+        out = np.zeros((nlimbs, self.n), dtype=np.uint64)
+        for j in range(nlimbs):
+            q = self.moduli[j]
+            arr = np.array([v % q for v in m_int], dtype=np.uint64)
+            out[j] = golden.fwd_ntt(arr, q, self.tabs[j])
+        return out
+
+    def encrypt(self, z, noise_bound: int = 3) -> Ciphertext:
+        n, L = self.n, self.L
+        m_int = self.encode(z)
+        Qd = 1
+        for q in self.moduli[:L]:
+            Qd *= q
+        rng = self._rng
+        a_int = [int(rng.integers(0, 1 << 62)) % Qd for _ in range(n)]
+        e = [int(v) for v in rng.integers(-noise_bound, noise_bound + 1, size=n)]
+        b_int = vectors._negacyclic_mul([(-v) % Qd for v in a_int], self.s, Qd)
+        b_int = [(bv + ev + mv) % Qd for bv, ev, mv in zip(b_int, e, m_int)]
+        data = np.stack(
+            [self._to_ntt_limbs(b_int, L), self._to_ntt_limbs(a_int, L)]
+        )
+        return Ciphertext(data=data, level=L - 1, scale=self.scale)
+
+    def decrypt(self, ct: Ciphertext) -> np.ndarray:
+        nl = ct.level + 1
+        moduli = self.moduli[:nl]
+        coeff = np.zeros((nl, self.n), dtype=np.uint64)
+        for j, q in enumerate(moduli):
+            s_ntt = golden.fwd_ntt(
+                np.array([v % q for v in self.s], dtype=np.uint64), q,
+                self.tabs[j],
+            )
+            v = (
+                _obj(ct.data[0, j])
+                + _obj(ct.data[1, j]) * s_ntt.astype(object)
+            ) % q
+            coeff[j] = golden.inv_ntt(v.astype(np.uint64), q, self.tabs[j])
+        # CRT reconstruct + center
+        Q = 1
+        for q in moduli:
+            Q *= q
+        m = [0] * self.n
+        for j, q in enumerate(moduli):
+            Qi = Q // q
+            inv = nt.inverse_mod(Qi % q, q)
+            mul = Qi * inv
+            for k in range(self.n):
+                m[k] = (m[k] + int(coeff[j, k]) * mul) % Q
+        m = [v - Q if v > Q // 2 else v for v in m]
+        return self.decode(m, ct.scale)
+
+    # -- homomorphic ops (through the accelerated public API) -----------------
+
+    def multiply(self, ct1: Ciphertext, ct2: Ciphertext):
+        """ct x ct -> 3-component intermediate (d0, d1, d2), via
+        api.DyadicMultiply."""
+        assert ct1.level == ct2.level
+        nl = ct1.level + 1
+        moduli = np.array(self.moduli[:nl], dtype=np.uint64)
+        results = np.zeros(3 * nl * self.n, dtype=np.uint64)
+        api.set_worksize_DyadicMultiply(1)
+        api.DyadicMultiply(
+            results, ct1.data.ravel(), ct2.data.ravel(), self.n, moduli, nl
+        )
+        api.DyadicMultiplyCompleted()
+        return results.reshape(3, nl, self.n), ct1.scale * ct2.scale
+
+    def _keyswitch_accumulate(self, d01: np.ndarray, t_ntt: np.ndarray,
+                              keys: List[np.ndarray]) -> np.ndarray:
+        """result (2, nl, n) += KeySwitch(t) via api.KeySwitch."""
+        nl = d01.shape[1]
+        result = d01.reshape(-1).copy()
+        api.set_worksize_KeySwitch(1)
+        api.KeySwitch(
+            result, t_ntt.ravel(), self.n, nl, self.K, nl + 1, 2,
+            self.moduli, keys, self.modswitch_factors, self.twiddle_factors,
+        )
+        api.KeySwitchCompleted()
+        return result.reshape(2, nl, self.n)
+
+    def relinearize(self, d: np.ndarray, scale: float, level: int) -> Ciphertext:
+        """(d0, d1, d2) -> 2-component ciphertext via the relin keyswitch."""
+        out = self._keyswitch_accumulate(d[:2], d[2], self.relin_keys)
+        return Ciphertext(data=out, level=level, scale=scale)
+
+    def multiply_relin(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        d, sc = self.multiply(ct1, ct2)
+        return self.relinearize(d, sc, ct1.level)
+
+    def rescale(self, ct: Ciphertext) -> Ciphertext:
+        """Exact RNS rescale by the last active modulus (coeff domain)."""
+        nl = ct.level + 1
+        assert nl >= 2
+        q_last = self.moduli[nl - 1]
+        out = np.zeros((2, nl - 1, self.n), dtype=np.uint64)
+        for k in range(2):
+            limbs = [
+                golden.inv_ntt(ct.data[k, j], self.moduli[j], self.tabs[j])
+                for j in range(nl)
+            ]
+            last = limbs[nl - 1].astype(object)
+            for j in range(nl - 1):
+                q = self.moduli[j]
+                inv_qlast = nt.inverse_mod(q_last % q, q)
+                v = ((limbs[j].astype(object) - last) % q * inv_qlast) % q
+                out[k, j] = golden.fwd_ntt(
+                    v.astype(np.uint64), q, self.tabs[j]
+                )
+        return Ciphertext(
+            data=out, level=ct.level - 1, scale=ct.scale / q_last
+        )
+
+    def rotate(self, ct: Ciphertext, r: int) -> Ciphertext:
+        """Left-rotate slots by r: Galois automorphism + keyswitch."""
+        nl = ct.level + 1
+        g = pow(5, r, 2 * self.n)
+        # apply tau_g per limb in the coefficient domain (exact)
+        rot = np.zeros_like(ct.data)
+        for k in range(2):
+            for j in range(nl):
+                q = self.moduli[j]
+                c = golden.inv_ntt(ct.data[k, j], q, self.tabs[j])
+                c_rot = _negacyclic_automorphism(
+                    [int(v) for v in c], g, self.n, q
+                )
+                rot[k, j] = golden.fwd_ntt(
+                    np.array(c_rot, dtype=np.uint64), q, self.tabs[j]
+                )
+        # keyswitch the c1(X^g) component from s(X^g) to s
+        d01 = np.stack([rot[0], np.zeros_like(rot[0])])
+        out = self._keyswitch_accumulate(d01, rot[1], self.galois_keys(r))
+        return Ciphertext(data=out, level=ct.level, scale=ct.scale)

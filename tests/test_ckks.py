@@ -1,0 +1,73 @@
+"""CKKS integration tests — the analog of the reference SEAL bridge's
+end-to-end validation (`experimental/bridge-seal/tests/keyswitch-example.cpp`:
+CKKS square with relinearization + rotation, precision-checked)."""
+
+import numpy as np
+import pytest
+
+from hexl_fpga_tpu import api
+from hexl_fpga_tpu.integrations import ckks
+from hexl_fpga_tpu.ops import nt
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    # 46-bit primes with scale ~ q: post-rescale scale stays ~2^45, far above
+    # the rescale noise (~||s||_1), the standard CKKS parameterization
+    n = 1024
+    moduli = nt.generate_primes(4, 45, n)  # 3 decomp + special
+    c = ckks.CkksContext(n, moduli, scale=2.0**45, seed=1)
+    api.acquire_FPGA_resources()
+    yield c
+
+
+def test_encode_decode_roundtrip(ctx):
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=ctx.slots) + 1j * rng.normal(size=ctx.slots)
+    m = ctx.encode(z)
+    back = ctx.decode(m, ctx.scale)
+    assert np.max(np.abs(back - z)) < 1e-5
+
+
+def test_encrypt_decrypt(ctx):
+    rng = np.random.default_rng(1)
+    z = rng.normal(size=ctx.slots)
+    ct = ctx.encrypt(z)
+    back = ctx.decrypt(ct)
+    assert np.max(np.abs(back - z)) < 1e-4
+
+
+def test_square_relinearize_rescale(ctx):
+    """Square + relinearize through DyadicMultiply + KeySwitch, then rescale —
+    the bridge patch's exact code path for CKKS multiplication."""
+    rng = np.random.default_rng(2)
+    z = rng.uniform(0.5, 1.5, size=ctx.slots)
+    ct = ctx.encrypt(z)
+    ct2 = ctx.multiply_relin(ct, ct)
+    ct2 = ctx.rescale(ct2)
+    back = ctx.decrypt(ct2)
+    rel_err = np.max(np.abs(back - z * z) / np.abs(z * z))
+    assert rel_err < 1e-3, f"relative error {rel_err}"
+
+
+def test_rotate(ctx):
+    """Galois rotation + keyswitch: slots shift left by r."""
+    rng = np.random.default_rng(3)
+    z = rng.normal(size=ctx.slots)
+    ct = ctx.encrypt(z)
+    for r in (1, 5):
+        rot = ctx.rotate(ct, r)
+        back = ctx.decrypt(rot)
+        want = np.roll(z, -r)
+        assert np.max(np.abs(back - want)) < 1e-3, f"rotation by {r}"
+
+
+def test_multiply_two_ciphertexts(ctx):
+    rng = np.random.default_rng(4)
+    z1 = rng.uniform(0.5, 1.5, size=ctx.slots)
+    z2 = rng.uniform(0.5, 1.5, size=ctx.slots)
+    ct = ctx.multiply_relin(ctx.encrypt(z1), ctx.encrypt(z2))
+    ct = ctx.rescale(ct)
+    back = ctx.decrypt(ct)
+    rel_err = np.max(np.abs(back - z1 * z2) / np.abs(z1 * z2))
+    assert rel_err < 1e-3
