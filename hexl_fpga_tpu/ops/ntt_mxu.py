@@ -146,6 +146,15 @@ def make_plan(n: int, q: int, n1: int = 128, psi: int | None = None):
     q_barr = ((1 << 64) // q) & ((1 << 64) - 1)
     ones = np.ones((1, 1), dtype=object)
 
+    def lazy_tab(W):
+        """(W, W_precon) uint32 pairs for the Harvey lazy twiddle multiply."""
+        Wu = W.astype(np.uint64)
+        prec = np.array(
+            [nt.barrett_factor(int(v), 64, q) for v in Wu.ravel()],
+            dtype=np.uint64,
+        ).reshape(Wu.shape)
+        return w.to_pair_np(Wu), w.to_pair_np(prec)
+
     plan = {
         "n": n, "q": q, "n1": n1, "n2": n2,
         "c64": np.uint64(c64),
@@ -153,12 +162,14 @@ def make_plan(n: int, q: int, n1: int = 128, psi: int | None = None):
         # stage 1 fwd: left-matmul, contraction j1; matrix used as (j1, m1)
         "f1": _limb_stack_matrix(G1, q),
         "f1_w": _w_tables(U, q),                       # (s, m1, j2)
+        "f1_u": lazy_tab(U),                           # lazy-multiply form
         # stage 2 fwd: right-matmul, contraction j2; matrix (j2, m2)
         "f2": _limb_stack_matrix(G2, q),
         "f2_w": _w_tables(np.broadcast_to(ones, (1, 1)).copy(), q),  # scalar 1
         # stage 1 inv: right-matmul, contraction m2; matrix (m2, j2)
         "i1": _limb_stack_matrix(H2, q),
         "i1_w": _w_tables(V, q),                       # (s, m1, j2)
+        "i1_v": lazy_tab(V),
         # stage 2 inv: left-matmul, contraction m1; matrix (m1, j1)
         "i2": _limb_stack_matrix(H1.T.copy(), q),
         "i2_w": _w_tables(np.broadcast_to(ones, (1, 1)).copy(), q),

@@ -70,115 +70,101 @@ def _limbs_axis1(lo, hi):
     return (u.astype(jnp.int32) - 128).astype(jnp.int8), rowsum
 
 
-def _acc_step(acc, S, wlo, whi):
-    """acc (3 u32 limbs) += S * (wlo, whi); S < 2^26 nonneg, W < 2^52."""
-    acc0, acc1, acc2 = acc
-    Su = S.astype(jnp.uint32)
-    p0, p1 = w.mul32(Su, wlo)
-    r1, r2 = w.mul32(Su, whi)
-    s0 = acc0 + p0
-    c0 = (s0 < acc0).astype(jnp.uint32)
-    t1 = p1 + r1
-    ct = (t1 < p1).astype(jnp.uint32)
-    s1 = acc1 + t1
-    c1 = (s1 < acc1).astype(jnp.uint32)
-    s1b = s1 + c0
-    c1b = (s1b < s1).astype(jnp.uint32)
-    return s0, s1b, acc2 + r2 + ct + c1 + c1b
+def _assemble_reduce(S_list, q: int, c64: int, q_barr: int):
+    """V = sum_s S_s << 8s  ->  V mod q, canonical.
 
-
-def _final_reduce(acc, q: int, c64: int, q_barr: int):
-    """(acc0, acc1, acc2) = V < 2^96-ish -> V mod q canonical."""
-    acc0, acc1, acc2 = acc
-    v = (acc0, acc1)
-    top = acc2
-    # one wide fold: top < 2^18, top*c64 < 2^70 (3 u32 limbs); afterwards the
-    # residual top is < 2^7, so a single exact u64 fold finishes the job
-    t = w.mul64_full((top, jnp.zeros_like(top)), w.const_pair(c64))
-    s = w.add64(v, (t[0], t[1]))
-    carry = w.lt64(s, v).astype(jnp.uint32)
-    v = s
-    top = t[2] + carry
-    t = w.mullo64((top, jnp.zeros_like(top)), c64)
-    s = w.add64(v, t)
-    carry = w.lt64(s, v)
-    v = w.select64(carry, w.add64(s, c64), s)
-    Q = w.mulhi64(v, q_barr)
-    r = w.sub64(v, w.mullo64(Q, q))
+    The limb-group sums assemble into three u32 words with SHIFTS AND ADDS
+    ONLY (no per-s multiplies — the twiddle, when present, is applied
+    afterwards as one Harvey lazy multiply), then one folded Barrett.
+    S_s: int32, nonneg, < 2^26; V < 2^75."""
+    z = jnp.zeros_like(S_list[0], jnp.uint32)
+    v0 = v1 = v2 = z
+    for s, S in enumerate(S_list):
+        Su = S.astype(jnp.uint32)
+        word, sh = divmod(8 * s, 32)
+        lo_c = (Su << sh) if sh else Su
+        hi_c = (Su >> (32 - sh)) if sh else None
+        if word == 0:
+            t0 = v0 + lo_c
+            c0 = (t0 < v0).astype(jnp.uint32)
+            v0 = t0
+            t1 = v1 + c0
+            c1 = (t1 < v1).astype(jnp.uint32)
+            v1 = t1
+            v2 = v2 + c1
+            if hi_c is not None:
+                t1 = v1 + hi_c
+                c1 = (t1 < v1).astype(jnp.uint32)
+                v1 = t1
+                v2 = v2 + c1
+        else:
+            t1 = v1 + lo_c
+            c1 = (t1 < v1).astype(jnp.uint32)
+            v1 = t1
+            v2 = v2 + c1
+            if hi_c is not None:
+                v2 = v2 + hi_c
+    # fold the top word: v2 < 2^12, so v2 * c64 < 2^64 is exact in u64
+    t = w.mullo64((v2, z), c64)
+    vv = w.add64((v0, v1), t)
+    carry = w.lt64(vv, (v0, v1))
+    vv = w.select64(carry, w.add64(vv, c64), vv)
+    Q = w.mulhi64(vv, q_barr)
+    r = w.sub64(vv, w.mullo64(Q, q))
     return w.cond_sub64(w.cond_sub64(r, q), q)
 
 
-def _zero_acc(S):
-    z = jnp.zeros_like(S, jnp.uint32)
-    return (z, jnp.zeros_like(z), jnp.zeros_like(z))
+def _lazy_twiddle(x, wt, q: int):
+    """One Harvey lazy multiply by a (W, W_precon) table; output in [0, 2q) —
+    lazy representatives are fine downstream (limb extraction handles any
+    value < 2^56, and the matmul is mod-q linear)."""
+    (wlo, whi, plo, phi) = wt
+    return w.mul_mod_lazy(x, (wlo, whi), (plo, phi), q)
 
 
-def _stage_left_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr, w_tables=None,
-                         scalar_consts=None, P=None, n2=None):
-    """(K, C) u32 pair -> (n_out, C): left matmul + recombine.
-
-    With w_tables, recombination runs in (n_out, P, n2) shape so the (m, j2)
-    table broadcasts along the poly axis without materialization."""
+def _stage_left_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
+                         w_tables=None):
+    """(K, C) u32 pair -> (n_out, C): left matmul, assemble-reduce, then an
+    optional lazy twiddle multiply (tables pre-tiled to the working shape)."""
     a, rowsum = _limbs_axis0(lo, hi)
-    acc = None
+    S_list = []
     for s in range(NLIMB):
         dot = jax.lax.dot_general(
             g_ref[s], a,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        S = dot + corr_ref[s][:, None] + 128 * rowsum
-        if w_tables is not None:
-            S = S.reshape(S.shape[0], P, n2)
-            wlo3 = w_tables[0][s][:, None, :]
-            whi3 = w_tables[1][s][:, None, :]
-        else:
-            wlo3, whi3 = scalar_consts[s]
-        acc = _acc_step(acc if acc is not None else _zero_acc(S), S, wlo3, whi3)
-    out = _final_reduce(acc, q, c64, q_barr)
+        S_list.append(dot + corr_ref[s][:, None] + 128 * rowsum)
+    out = _assemble_reduce(S_list, q, c64, q_barr)
     if w_tables is not None:
-        return out[0].reshape(out[0].shape[0], -1), out[1].reshape(
-            out[1].shape[0], -1
-        )
+        out = _lazy_twiddle(out, w_tables, q)
     return out
 
 
 def _stage_right_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
-                          w_tables=None, scalar_consts=None, n1=None):
-    """(R, C) u32 pair -> (R, n_out): right matmul + recombine.
+                          w_tables=None, n1=None):
+    """(R, C) u32 pair -> (R, n_out): right matmul + assemble-reduce.
 
-    With w_tables (7, n1, n_out), rows are (p, m1) with m1 minor; the
-    recombination runs in (P, n1, n_out) shape so the table broadcasts along
-    the poly axis."""
+    With w_tables ((n1, n_out) x4), rows are (p, m1) with m1 minor; the lazy
+    multiply runs in (P, n1, n_out) shape so the table broadcasts along the
+    leading poly axis."""
     a, rowsum = _limbs_axis1(lo, hi)
     R = lo.shape[0]
-    acc = None
+    S_list = []
     for s in range(NLIMB):
         dot = jax.lax.dot_general(
             a, g_ref[s],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        S = dot + corr_ref[s][None, :] + 128 * rowsum
-        if w_tables is not None:
-            S = S.reshape(R // n1, n1, S.shape[1])
-            wlo3 = w_tables[0][s][None, :, :]
-            whi3 = w_tables[1][s][None, :, :]
-        else:
-            wlo3, whi3 = scalar_consts[s]
-        acc = _acc_step(acc if acc is not None else _zero_acc(S), S, wlo3, whi3)
-    out = _final_reduce(acc, q, c64, q_barr)
+        S_list.append(dot + corr_ref[s][None, :] + 128 * rowsum)
+    out = _assemble_reduce(S_list, q, c64, q_barr)
     if w_tables is not None:
-        return out[0].reshape(R, -1), out[1].reshape(R, -1)
-    return out
-
-
-def _scalar_consts(q: int):
-    """(wlo, whi) uint32 numpy scalars for W_s = 2^{8s} mod q."""
-    out = []
-    for s in range(NLIMB):
-        c = pow(2, 8 * s, q)
-        out.append((np.uint32(c & 0xFFFFFFFF), np.uint32(c >> 32)))
+        shape3 = (R // n1, n1, out[0].shape[1])
+        x3 = (out[0].reshape(shape3), out[1].reshape(shape3))
+        wt3 = tuple(t[None, :, :] for t in w_tables)
+        out3 = _lazy_twiddle(x3, wt3, q)
+        out = (out3[0].reshape(R, -1), out3[1].reshape(R, -1))
     return out
 
 
@@ -193,32 +179,23 @@ def _fwd_kernel(n: int, q: int, tile_p: int, plan):
     #   in (P, n1, n2) --(1,0,2)--> (n1, P*n2)   stage-1 LEFT matmul (over j1)
     #   (n1, P*n2) == ((m1,p), n2) view          stage-2 RIGHT matmul (over j2)
     #   out ((m1,p), m2) --(1,0,2)--> (P, n1, n2)
-    # The U twiddle is host-pre-tiled to (7, n1, P*n2) so recombination is a
-    # plain same-shape elementwise multiply (no in-kernel broadcast).
+    # The U twiddle tables are host-pre-tiled to (n1, P*n2) so the lazy
+    # multiply is a plain same-shape elementwise op (no in-kernel broadcast).
     n1, n2 = plan["n1"], plan["n2"]
     c64, q_barr = int(plan["c64"]), int(plan["q_barr"])
-    consts = _scalar_consts(q)
 
-    def kernel(lo_ref, hi_ref, g1_ref, c1_ref, w1lo_ref, w1hi_ref,
+    def kernel(lo_ref, hi_ref, g1_ref, c1_ref, uw_lo, uw_hi, up_lo, up_hi,
                g2_ref, c2_ref, olo_ref, ohi_ref):
         lo = jnp.transpose(lo_ref[:], (1, 0, 2)).reshape(n1, tile_p * n2)
         hi = jnp.transpose(hi_ref[:], (1, 0, 2)).reshape(n1, tile_p * n2)
-        a, rowsum = _limbs_axis0(lo, hi)
-        acc = None
-        for s in range(NLIMB):
-            dot = jax.lax.dot_general(
-                g1_ref[s], a,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            S = dot + c1_ref[s][:, None] + 128 * rowsum
-            acc = _acc_step(acc if acc is not None else _zero_acc(S), S,
-                            w1lo_ref[s], w1hi_ref[s])
-        clo, chi = _final_reduce(acc, q, c64, q_barr)
+        clo, chi = _stage_left_inkernel(
+            lo, hi, g1_ref, c1_ref, q, c64, q_barr,
+            w_tables=(uw_lo[:], uw_hi[:], up_lo[:], up_hi[:]),
+        )  # lazy [0, 2q)
         # (n1, P*n2) == (n1*P, n2) view: stage-2 contraction on minor axis
         olo, ohi = _stage_right_inkernel(
             clo.reshape(n1 * tile_p, n2), chi.reshape(n1 * tile_p, n2),
-            g2_ref, c2_ref, q, c64, q_barr, scalar_consts=consts,
+            g2_ref, c2_ref, q, c64, q_barr,
         )
         olo_ref[:] = jnp.transpose(olo.reshape(n1, tile_p, n2), (1, 0, 2))
         ohi_ref[:] = jnp.transpose(ohi.reshape(n1, tile_p, n2), (1, 0, 2))
@@ -229,17 +206,16 @@ def _fwd_kernel(n: int, q: int, tile_p: int, plan):
 def _inv_kernel(n: int, q: int, tile_p: int, plan):
     n1, n2 = plan["n1"], plan["n2"]
     c64, q_barr = int(plan["c64"]), int(plan["q_barr"])
-    consts = _scalar_consts(q)
 
-    def kernel(lo_ref, hi_ref, g1_ref, c1_ref, w1lo_ref, w1hi_ref,
+    def kernel(lo_ref, hi_ref, g1_ref, c1_ref, vw_lo, vw_hi, vp_lo, vp_hi,
                g2_ref, c2_ref, olo_ref, ohi_ref):
         # stage 1: right matmul on (P*n1, n2), V table indexed by row % n1
         lo = lo_ref[:].reshape(tile_p * n1, n2)
         hi = hi_ref[:].reshape(tile_p * n1, n2)
         plo, phi = _stage_right_inkernel(
             lo, hi, g1_ref, c1_ref, q, c64, q_barr,
-            w_tables=(w1lo_ref, w1hi_ref), n1=n1,
-        )
+            w_tables=(vw_lo[:], vw_hi[:], vp_lo[:], vp_hi[:]), n1=n1,
+        )  # lazy [0, 2q)
         # stage 2: left matmul over m1: (P, n1, n2) -> (n1, P*n2)
         plo = jnp.transpose(plo.reshape(tile_p, n1, n2), (1, 0, 2)).reshape(
             n1, tile_p * n2
@@ -248,7 +224,7 @@ def _inv_kernel(n: int, q: int, tile_p: int, plan):
             n1, tile_p * n2
         )
         olo, ohi = _stage_left_inkernel(
-            plo, phi, g2_ref, c2_ref, q, c64, q_barr, scalar_consts=consts,
+            plo, phi, g2_ref, c2_ref, q, c64, q_barr,
         )
         olo_ref[:] = jnp.transpose(
             olo.reshape(n1, tile_p, n2), (1, 0, 2)
@@ -297,16 +273,20 @@ def _fwd_tabs(plan, tile_p):
     g1, c1 = plan["f1"]
     g2, c2 = plan["f2"]
     n1, n2 = plan["n1"], plan["n2"]
-    # U table pre-tiled to the kernel's (n1, P*n2) working shape
+
+    # U / U_precon tables pre-tiled to the kernel's (n1, P*n2) working shape
     def tile(t):
         return np.ascontiguousarray(
-            np.broadcast_to(t[:, :, None, :], (NLIMB, n1, tile_p, n2)).reshape(
-                NLIMB, n1, tile_p * n2
+            np.broadcast_to(t[:, None, :], (n1, tile_p, n2)).reshape(
+                n1, tile_p * n2
             )
         )
+
+    (uw_lo, uw_hi), (up_lo, up_hi) = plan["f1_u"]
     return (
         jnp.asarray(g1), jnp.asarray(c1),
-        jnp.asarray(tile(plan["f1_w"][0])), jnp.asarray(tile(plan["f1_w"][1])),
+        jnp.asarray(tile(uw_lo)), jnp.asarray(tile(uw_hi)),
+        jnp.asarray(tile(up_lo)), jnp.asarray(tile(up_hi)),
         jnp.asarray(g2), jnp.asarray(c2),
     )
 
@@ -314,9 +294,11 @@ def _fwd_tabs(plan, tile_p):
 def _inv_tabs(plan):
     g1, c1 = plan["i1"]
     g2, c2 = plan["i2"]
+    (vw_lo, vw_hi), (vp_lo, vp_hi) = plan["i1_v"]
     return (
         jnp.asarray(g1), jnp.asarray(c1),
-        jnp.asarray(plan["i1_w"][0]), jnp.asarray(plan["i1_w"][1]),
+        jnp.asarray(vw_lo), jnp.asarray(vw_hi),
+        jnp.asarray(vp_lo), jnp.asarray(vp_hi),
         jnp.asarray(g2), jnp.asarray(c2),
     )
 
