@@ -63,6 +63,28 @@ def batch_sharded_fwd_ntt(mesh: Mesh, axis: str, n: int, q: int):
     )
 
 
+def batch_sharded_fwd_ntt_mxu(mesh: Mesh, axis: str, n: int, q: int,
+                              tile_p: int = 4):
+    """Batch-sharded fused-MXU forward NTT (TPU meshes): each shard runs the
+    Pallas four-step kernel on its local batch slice; no collectives.  The
+    per-chip local batch must be a multiple of tile_p."""
+    from ..ops import ntt_mxu_pallas
+
+    call = ntt_mxu_pallas.raw_fwd_call(n, q, tile_p)
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+    # pallas_call out_shapes carry no varying-manual-axes info; disable the
+    # vma check (newer jax) / rep check (older jax)
+    try:
+        fn = shard_map(call, check_vma=False, **kwargs)
+    except TypeError:
+        fn = shard_map(call, check_rep=False, **kwargs)
+    return jax.jit(fn)
+
+
 # ---------------------------------------------------------------------------
 # coefficient-sharded (sequence-parallel) NTT ('sp')
 # ---------------------------------------------------------------------------
