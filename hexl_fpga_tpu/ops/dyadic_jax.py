@@ -94,6 +94,57 @@ def dyadic_multiply_batched(op1, op2, moduli) -> np.ndarray:
     return w.from_pair_np(np.asarray(lo), np.asarray(hi))
 
 
+@functools.lru_cache(maxsize=64)
+def _dyadic_static_jit(moduli: tuple):
+    """Per-moduli-tuple specialization: Barrett constants fold into the
+    program (the fence semantics key batches by moduli, so reuse is high)."""
+
+    def fn(o1lo, o1hi, o2lo, o2hi):  # (B, 2, M, n) planes
+        outs = []
+        for m, q in enumerate(moduli):
+            def red(x):
+                # inputs tolerated in [0, 4q) like the reference MultMod
+                # (`device/mod_ops.hpp:31-84`)
+                return w.cond_sub64(w.cond_sub64(x, 2 * q), q)
+
+            x0 = red((o1lo[:, 0, m], o1hi[:, 0, m]))
+            x1 = red((o1lo[:, 1, m], o1hi[:, 1, m]))
+            y0 = red((o2lo[:, 0, m], o2hi[:, 0, m]))
+            y1 = red((o2lo[:, 1, m], o2hi[:, 1, m]))
+            out0 = w.mul_mod_static(x0, y0, q)
+            p01 = w.mul_mod_static(x0, y1, q)
+            p10 = w.mul_mod_static(x1, y0, q)
+            out1 = w.cond_sub64(w.add64(p01, p10), q)
+            out2 = w.mul_mod_static(x1, y1, q)
+            outs.append((out0, out1, out2))
+        lo = jnp.stack(
+            [jnp.stack([outs[m][k][0] for m in range(len(moduli))], axis=1)
+             for k in range(3)], axis=1)
+        hi = jnp.stack(
+            [jnp.stack([outs[m][k][1] for m in range(len(moduli))], axis=1)
+             for k in range(3)], axis=1)
+        return lo, hi
+
+    return jax.jit(fn)
+
+
+def dyadic_multiply_static(op1, op2, moduli) -> np.ndarray:
+    """op1/op2: (B, 2, M, n) u64 with one shared moduli vector -> (B, 3, M, n).
+
+    Inputs must be < 4q per modulus (the device MultMod domain,
+    `device/mod_ops.hpp:31-84`).  The traced path (dyadic_multiply_batched)
+    additionally reproduces the reference's tolerance of raw operands beyond
+    4q when the 128-bit product stays under 2^(len+64) — needed for the
+    reference ramp-stimulus tests with tiny moduli."""
+    op1 = np.asarray(op1, dtype=np.uint64)
+    op2 = np.asarray(op2, dtype=np.uint64)
+    o1 = w.to_pair_np(op1)
+    o2 = w.to_pair_np(op2)
+    fn = _dyadic_static_jit(tuple(int(q) for q in moduli))
+    lo, hi = fn(o1[0], o1[1], o2[0], o2[1])
+    return w.from_pair_np(np.asarray(lo), np.asarray(hi))
+
+
 def dyadic_multiply(op1, op2, n: int, moduli, n_moduli: int) -> np.ndarray:
     """numpy convenience wrapper with the public-API layout
     (`host/inc/hexl-fpga.h:41-43`): op [2][M][n] -> out [3][M][n]."""

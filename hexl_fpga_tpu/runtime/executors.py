@@ -98,7 +98,12 @@ class JaxExecutor(_Base):
 
     def run_dyadic_multiply(self, batch):
         with self._ctx():
-            # stack ops that share (n, n_moduli); fences guarantee homogeneity
+            # stack ops that share (n, n_moduli); fences guarantee homogeneity.
+            # The traced-modulus path reproduces the reference MultMod's exact
+            # input domain (its final Barrett step tolerates raw operands well
+            # beyond 4q whenever the 128-bit product < 2^(len+64), a property
+            # the reference's ramp tests rely on); the static-moduli
+            # specialization (dyadic_multiply_static) requires inputs < 4q.
             n = batch[0].args["n"]
             M = batch[0].args["n_moduli"]
             op1 = np.stack(
