@@ -70,12 +70,11 @@ def _limbs_axis1(lo, hi):
     return (u.astype(jnp.int32) - 128).astype(jnp.int8), rowsum
 
 
-def _assemble_reduce(S_list, q: int, c64: int, q_barr: int):
-    """V = sum_s S_s << 8s  ->  V mod q, canonical.
+def _assemble_fold(S_list, c64: int):
+    """V = sum_s S_s << 8s  ->  a 64-bit representative congruent to V mod q.
 
     The limb-group sums assemble into three u32 words with SHIFTS AND ADDS
-    ONLY (no per-s multiplies — the twiddle, when present, is applied
-    afterwards as one Harvey lazy multiply), then one folded Barrett.
+    ONLY (no per-s multiplies), then the top word folds via 2^64 = c64.
     S_s: int32, nonneg, < 2^26; V < 2^75."""
     z = jnp.zeros_like(S_list[0], jnp.uint32)
     v0 = v1 = v2 = z
@@ -108,24 +107,30 @@ def _assemble_reduce(S_list, q: int, c64: int, q_barr: int):
     t = w.mullo64((v2, z), c64)
     vv = w.add64((v0, v1), t)
     carry = w.lt64(vv, (v0, v1))
-    vv = w.select64(carry, w.add64(vv, c64), vv)
+    return w.select64(carry, w.add64(vv, c64), vv)
+
+
+def _barrett_canonical(vv, q: int, q_barr: int):
+    """Any u64 representative -> [0, q) (Barrett, two corrections)."""
     Q = w.mulhi64(vv, q_barr)
     r = w.sub64(vv, w.mullo64(Q, q))
     return w.cond_sub64(w.cond_sub64(r, q), q)
 
 
 def _lazy_twiddle(x, wt, q: int):
-    """One Harvey lazy multiply by a (W, W_precon) table; output in [0, 2q) —
-    lazy representatives are fine downstream (limb extraction handles any
-    value < 2^56, and the matmul is mod-q linear)."""
+    """One Harvey lazy multiply by a (W, W_precon) table; exact mod q for ANY
+    u64 representative x, output in [0, 2q) — so the pre-twiddle Barrett is
+    skipped entirely.  Lazy values are fine downstream (limb extraction
+    handles anything < 2^56 and the matmul is mod-q linear)."""
     (wlo, whi, plo, phi) = wt
     return w.mul_mod_lazy(x, (wlo, whi), (plo, phi), q)
 
 
 def _stage_left_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
                          w_tables=None):
-    """(K, C) u32 pair -> (n_out, C): left matmul, assemble-reduce, then an
-    optional lazy twiddle multiply (tables pre-tiled to the working shape)."""
+    """(K, C) u32 pair -> (n_out, C): left matmul, shift-assembly, then
+    either a lazy twiddle multiply (tables pre-tiled to the working shape;
+    no Barrett needed) or a canonical Barrett."""
     a, rowsum = _limbs_axis0(lo, hi)
     S_list = []
     for s in range(NLIMB):
@@ -135,19 +140,19 @@ def _stage_left_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
             preferred_element_type=jnp.int32,
         )
         S_list.append(dot + corr_ref[s][:, None] + 128 * rowsum)
-    out = _assemble_reduce(S_list, q, c64, q_barr)
+    vv = _assemble_fold(S_list, c64)
     if w_tables is not None:
-        out = _lazy_twiddle(out, w_tables, q)
-    return out
+        return _lazy_twiddle(vv, w_tables, q)
+    return _barrett_canonical(vv, q, q_barr)
 
 
 def _stage_right_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
                           w_tables=None, n1=None):
-    """(R, C) u32 pair -> (R, n_out): right matmul + assemble-reduce.
+    """(R, C) u32 pair -> (R, n_out): right matmul + shift-assembly.
 
     With w_tables ((n1, n_out) x4), rows are (p, m1) with m1 minor; the lazy
     multiply runs in (P, n1, n_out) shape so the table broadcasts along the
-    leading poly axis."""
+    leading poly axis (and replaces the Barrett)."""
     a, rowsum = _limbs_axis1(lo, hi)
     R = lo.shape[0]
     S_list = []
@@ -158,14 +163,14 @@ def _stage_right_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
             preferred_element_type=jnp.int32,
         )
         S_list.append(dot + corr_ref[s][None, :] + 128 * rowsum)
-    out = _assemble_reduce(S_list, q, c64, q_barr)
+    vv = _assemble_fold(S_list, c64)
     if w_tables is not None:
-        shape3 = (R // n1, n1, out[0].shape[1])
-        x3 = (out[0].reshape(shape3), out[1].reshape(shape3))
+        shape3 = (R // n1, n1, vv[0].shape[1])
+        x3 = (vv[0].reshape(shape3), vv[1].reshape(shape3))
         wt3 = tuple(t[None, :, :] for t in w_tables)
         out3 = _lazy_twiddle(x3, wt3, q)
-        out = (out3[0].reshape(R, -1), out3[1].reshape(R, -1))
-    return out
+        return (out3[0].reshape(R, -1), out3[1].reshape(R, -1))
+    return _barrett_canonical(vv, q, q_barr)
 
 
 # ---------------------------------------------------------------------------
