@@ -210,6 +210,140 @@ def dist_fwd_ntt(mesh: Mesh, axis: str, n: int, q: int):
     return jax.jit(lambda lo, hi: fn(lo, hi, *tabs))
 
 
+def _inv_pos_tables(n: int, q: int):
+    """Position-expanded (S, n) inverse-twiddle stacks (stage s has m = n >>
+    (s+1) blocks of width 2^(s+1); golden scan-order offsets), plus the fused
+    last-stage constants."""
+    t = twiddles.ntt_tables(n, q)
+    S = nt.log2_exact(n)
+    j = np.arange(n)
+    pos = np.ones((S - 1, n), dtype=np.uint64)
+    posp = np.zeros((S - 1, n), dtype=np.uint64)
+    root_index = 1
+    m = n >> 1
+    s = 0
+    while m > 1:
+        block = j // (n // m)
+        pos[s] = t.inv[root_index + block]
+        posp[s] = t.inv_precon[root_index + block]
+        root_index += m
+        m >>= 1
+        s += 1
+    consts = dict(
+        inv_n=int(t.inv_n),
+        inv_n_w=int(t.inv_n_w),
+        inv_n_precon=nt.barrett_factor(int(t.inv_n), 64, q),
+        inv_n_w_precon=nt.barrett_factor(int(t.inv_n_w), 64, q),
+    )
+    return pos, posp, consts
+
+
+def dist_inv_ntt(mesh: Mesh, axis: str, n: int, q: int):
+    """Inverse NTT with the coefficient dim sharded over `axis` — the mirror
+    of dist_fwd_ntt: Gentleman-Sande stages with t < shard are local, stages
+    with t >= shard exchange whole shards with the XOR partner (ppermute);
+    the fused n^{-1} final stage is the last (largest-stride) exchange."""
+    Pn = mesh.shape[axis]
+    assert Pn >= 2, "coefficient sharding needs >= 2 shards"
+    assert n % (Pn * 128) == 0
+    shard = n // Pn
+    pos_np, posp_np, consts = _inv_pos_tables(n, q)
+    pos = w.to_pair_np(pos_np)
+    posp = w.to_pair_np(posp_np)
+    n_cross = nt.log2_exact(Pn)
+    logn = nt.log2_exact(n)
+
+    def local(lo, hi, pw_lo, pw_hi, pp_lo, pp_hi):
+        me = jax.lax.axis_index(axis)
+        x = (lo, hi)  # (B, shard)
+        B = x[0].shape[0]
+
+        def stage_tab(s):
+            return (pw_lo[s], pw_hi[s]), (pp_lo[s], pp_hi[s])
+
+        # local stages: t = 1 .. shard/2 (s = 0 .. log2(shard)-1)
+        t = 1
+        m = n >> 1
+        s = 0
+        while t < shard:
+            v0 = x[0].reshape(B, shard // (2 * t), 2, t)
+            v1 = x[1].reshape(B, shard // (2 * t), 2, t)
+            X = (v0[:, :, 0, :], v1[:, :, 0, :])
+            Y = (v0[:, :, 1, :], v1[:, :, 1, :])
+            W, Wp = stage_tab(s)
+            # this shard's slice of the position-expanded table, Y-half
+            Wy = (
+                W[0].reshape(shard // (2 * t), 2, t)[:, 1, :][None],
+                W[1].reshape(shard // (2 * t), 2, t)[:, 1, :][None],
+            )
+            Wyp = (
+                Wp[0].reshape(shard // (2 * t), 2, t)[:, 1, :][None],
+                Wp[1].reshape(shard // (2 * t), 2, t)[:, 1, :][None],
+            )
+            tx = w.add64(X, Y)
+            ty = w.sub64(w.add64(X, 2 * q), Y)
+            nX = w.cond_sub64(tx, 2 * q)
+            nY = w.mul_mod_lazy(ty, Wy, Wyp, q)
+            x = (
+                jnp.stack([nX[0], nY[0]], axis=2).reshape(B, shard),
+                jnp.stack([nX[1], nY[1]], axis=2).reshape(B, shard),
+            )
+            t <<= 1
+            m >>= 1
+            s += 1
+
+        # cross-shard stages: t = shard .. n/4 (whole-shard XOR exchange)
+        while t < (n >> 1):
+            dist = t // shard
+            perm = [(i, i ^ dist) for i in range(Pn)]
+            partner = (
+                jax.lax.ppermute(x[0], axis, perm),
+                jax.lax.ppermute(x[1], axis, perm),
+            )
+            W, Wp = stage_tab(s)
+            is_x = (me & dist) == 0
+            # X shards: fold(x + partner); Y shards: lazy((partner + 2q - x)W)
+            tx = w.cond_sub64(w.add64(x, partner), 2 * q)
+            ty = w.sub64(w.add64(partner, 2 * q), x)
+            lazy = w.mul_mod_lazy(ty, W, Wp, q)
+            x = w.select64(is_x, tx, lazy)
+            t <<= 1
+            s += 1
+
+        # fused final stage (t = n/2): partner across the top bit
+        dist = (n >> 1) // shard
+        perm = [(i, i ^ dist) for i in range(Pn)]
+        partner = (
+            jax.lax.ppermute(x[0], axis, perm),
+            jax.lax.ppermute(x[1], axis, perm),
+        )
+        is_x = (me & dist) == 0
+        tx = w.cond_sub64(w.add64(x, partner), 2 * q)
+        ty = w.sub64(w.add64(partner, 2 * q), x)
+        nX = w.mul_mod_lazy(tx, consts["inv_n"], consts["inv_n_precon"], q)
+        nY = w.mul_mod_lazy(
+            ty, consts["inv_n_w"], consts["inv_n_w_precon"], q
+        )
+        out = w.select64(is_x, nX, nY)
+        return w.cond_sub64(out, q)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis), P(None, axis),
+            P(None, axis), P(None, axis),
+            P(None, axis), P(None, axis),
+        ),
+        out_specs=(P(None, axis), P(None, axis)),
+    )
+    tabs = (
+        jnp.asarray(pos[0]), jnp.asarray(pos[1]),
+        jnp.asarray(posp[0]), jnp.asarray(posp[1]),
+    )
+    return jax.jit(lambda lo, hi: fn(lo, hi, *tabs))
+
+
 # ---------------------------------------------------------------------------
 # limb-sharded keyswitch ('mp', optionally x 'dp')
 # ---------------------------------------------------------------------------

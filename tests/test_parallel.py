@@ -44,6 +44,22 @@ def test_dist_fwd_ntt(devices, n_shards):
     np.testing.assert_array_equal(out, golden.fwd_ntt(a, q))
 
 
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_dist_inv_ntt(devices, n_shards):
+    """Coefficient-sharded inverse NTT: roundtrip + bit-exact vs golden."""
+    n, q = 2048, nt.generate_primes(1, 45, 2048)[0]
+    mesh = Mesh(np.array(devices[:n_shards]), ("sp",))
+    fn = sharded.dist_inv_ntt(mesh, "sp", n, q)
+    rng = np.random.default_rng(100 + n_shards)
+    a = rng.integers(0, q, size=(4, n), dtype=np.uint64)
+    y = golden.fwd_ntt(a, q)
+    lo, hi = w.to_pair_np(y)
+    olo, ohi = fn(jnp.asarray(lo), jnp.asarray(hi))
+    out = w.from_pair_np(np.asarray(olo), np.asarray(ohi))
+    np.testing.assert_array_equal(out, a)
+    np.testing.assert_array_equal(out, golden.inv_ntt(y, q))
+
+
 @pytest.mark.parametrize("mp,dp", [(2, 1), (4, 2)])
 def test_limb_sharded_keyswitch(devices, mp, dp):
     n, L, K = 64, 3, 4

@@ -1,0 +1,64 @@
+"""On-hardware validation tier — runs only with HEXL_TPU_HW_TESTS=1 on a
+real TPU (the analog of the reference CI's RUN_CHOICE=2 pass on the FPGA
+card before the RUN_CHOICE=1 emulation pass, `.github/workflows/ci.yml`).
+
+  HEXL_TPU_HW_TESTS=1 python -m pytest tests/test_tpu_hw.py -q
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("HEXL_TPU_HW_TESTS") != "1"
+    or jax.devices()[0].platform == "cpu",
+    reason="hardware tier (HEXL_TPU_HW_TESTS=1 on a TPU)",
+)
+
+
+def test_mxu_ntt_roundtrip_hw():
+    from hexl_fpga_tpu.ops import golden, nt, ntt_mxu_pallas
+
+    for n, bits in [(1024, 30), (16384, 51)]:
+        q = nt.generate_primes(1, bits, n)[0]
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, q, size=(8, n), dtype=np.uint64)
+        got = ntt_mxu_pallas.fwd_ntt(a, q)
+        np.testing.assert_array_equal(got, golden.fwd_ntt(a, q))
+        back = ntt_mxu_pallas.inv_ntt(got, q)
+        np.testing.assert_array_equal(back, a)
+
+
+def test_keyswitch_benchmark_config_hw():
+    from hexl_fpga_tpu.ops import keyswitch_tpu
+    from hexl_fpga_tpu.utils import vectors
+
+    n, L, K = 16384, 6, 7
+    vec = vectors.make_keyswitch_vector(n, L, K, seed=0, modulus_bits=51)
+    ctx = keyswitch_tpu.get_context(
+        n, L, K, L + 1, 2, vec.moduli, vec.twiddle_factors
+    )
+    got = ctx.run(
+        vec.input, vec.t_target_iter_ptr, vec.key_vectors,
+        vec.modswitch_factors,
+    )
+    np.testing.assert_array_equal(got, vec.expected_output)
+
+
+def test_api_accelerated_hw():
+    from hexl_fpga_tpu import api
+    from hexl_fpga_tpu.ops import golden, nt, twiddles
+
+    api.acquire_FPGA_resources()
+    q = nt.generate_primes(1, 48, 2048)[0]
+    t = twiddles.ntt_tables(2048, q)
+    a = np.random.default_rng(1).integers(0, q, size=2048, dtype=np.uint64)
+    op = a.copy()
+    with pytest.deprecated_call():
+        api._set_worksize_NTT(1)
+        api._NTT(op, t.fwd, t.fwd_precon, q, 2048)
+    api._NTTCompleted()
+    np.testing.assert_array_equal(op, golden.fwd_ntt(a, q, t))
