@@ -44,24 +44,40 @@ def main():
 
     lo, hi = w.to_pair_np(a)
     lo, hi = jnp.asarray(lo), jnp.asarray(hi)
-    fn = ntt_mxu_pallas.fwd_ntt_fn(n, int(q), TP)
 
-    t0 = time.time()
-    out = call_with_retry(fn, lo, hi)
-    jax.block_until_ready(out)
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    def run_kernel(make_fn, label):
+        fn = make_fn()
+        t0 = time.time()
+        out = call_with_retry(fn, lo, hi)
+        jax.block_until_ready(out)
+        log(f"[{label}] compile+first run: {time.time() - t0:.1f}s")
+        got = w.from_pair_np(np.asarray(out[0][:4]), np.asarray(out[1][:4]))
+        np.testing.assert_array_equal(got, golden.fwd_ntt(a[:4], q))
+        log(f"[{label}] bit-exact vs golden: OK")
+        iters = int(os.environ.get("BENCH_ITERS", 50))
+        best = 1e18
+        for _ in range(2):
+            t0 = time.time()
+            for _ in range(iters):
+                out = fn(lo, hi)
+            jax.block_until_ready(out)
+            best = min(best, (time.time() - t0) / iters)
+        return best
 
-    # bit-exactness spot check vs golden
-    got = w.from_pair_np(np.asarray(out[0][:4]), np.asarray(out[1][:4]))
-    np.testing.assert_array_equal(got, golden.fwd_ntt(a[:4], q))
-    log("bit-exact vs golden: OK")
+    # primary: fused MXU kernel; fallback: the VPU masked-roll kernel (in
+    # case a toolchain change breaks Mosaic int8 matmuls on this platform)
+    try:
+        dt = run_kernel(
+            lambda: ntt_mxu_pallas.fwd_ntt_fn(n, int(q), TP), "mxu"
+        )
+    except Exception as exc:  # pragma: no cover - fallback path
+        log(f"MXU kernel failed ({type(exc).__name__}: {exc}); "
+            "falling back to the VPU kernel")
+        from hexl_fpga_tpu.ops import ntt_pallas
 
-    iters = int(os.environ.get("BENCH_ITERS", 50))
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(lo, hi)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+        dt = run_kernel(
+            lambda: ntt_pallas.fwd_ntt_fn(n, int(q), 32), "vpu"
+        )
     ntt_per_sec = B / dt
     log(f"{dt*1e3:.3f} ms/batch -> {ntt_per_sec:.0f} NTT/s")
 

@@ -139,11 +139,48 @@ static void TestKeySwitchZeroKey() {
   std::puts("keyswitch zero-key: OK");
 }
 
+#include <atomic>
+#include <thread>
+
+static void TestConcurrentCallers() {
+  // several caller threads interleaving dyadic ops (the scheduler is
+  // multi-producer; NUM_DEV workers drain one shared queue)
+  const u64 n = 256;
+  const u64 q = 65537;
+  std::atomic<int> failures{0};
+  auto worker = [&](int seed) {
+    std::mt19937_64 rng(seed);
+    for (int iter = 0; iter < 8; ++iter) {
+      std::vector<u64> op1(2 * n), op2(2 * n), out(3 * n, 0);
+      for (u64 i = 0; i < 2 * n; ++i) {
+        op1[i] = rng() % q;
+        op2[i] = rng() % q;
+      }
+      intel::hexl::DyadicMultiply(out.data(), op1.data(), op2.data(), n, &q,
+                                  1);
+      intel::hexl::DyadicMultiplyCompleted();
+      for (u64 j = 0; j < n; ++j) {
+        const u64 e0 = static_cast<u64>(static_cast<u128>(op1[j]) * op2[j] % q);
+        if (out[j] != e0) {
+          ++failures;
+          return;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < 4; ++t) threads.emplace_back(worker, 100 + t);
+  for (auto& th : threads) th.join();
+  CHECK(failures.load() == 0);
+  std::puts("concurrent callers: OK");
+}
+
 int main() {
   intel::hexl::acquire_FPGA_resources();
   TestNttRoundtrip();
   TestDyadicMultiply();
   TestKeySwitchZeroKey();
+  TestConcurrentCallers();
   intel::hexl::release_FPGA_resources();
   std::puts("selftest: ALL OK");
   return 0;

@@ -141,12 +141,14 @@ class CkksContext:
 
     def galois_keys(self, r: int) -> List[np.ndarray]:
         """Rotation keys for a left-rotation by r slots (s(X^g) -> s)."""
-        if r not in self._rot_keys:
-            g = pow(5, r, 2 * self.n)
+        return self._galois_keys_for(pow(5, r, 2 * self.n))
+
+    def _galois_keys_for(self, g: int) -> List[np.ndarray]:
+        if g not in self._rot_keys:
             s_g = _negacyclic_automorphism(self.s, g, self.n, 1 << 127)
             s_g = [v if v < (1 << 126) else v - (1 << 127) for v in s_g]
-            self._rot_keys[r] = self._make_switch_keys(s_g)
-        return self._rot_keys[r]
+            self._rot_keys[g] = self._make_switch_keys(s_g)
+        return self._rot_keys[g]
 
     # -- encode / decode ------------------------------------------------------
 
@@ -277,10 +279,65 @@ class CkksContext:
             data=out, level=ct.level - 1, scale=ct.scale / q_last
         )
 
+    def add(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        assert ct1.level == ct2.level and abs(ct1.scale - ct2.scale) < 1e-3
+        nl = ct1.level + 1
+        out = np.zeros_like(ct1.data)
+        for j in range(nl):
+            q = np.uint64(self.moduli[j])
+            with np.errstate(over="ignore"):
+                s = ct1.data[:, j] + ct2.data[:, j]
+            out[:, j] = np.where(s >= q, s - q, s)
+        return Ciphertext(data=out, level=ct1.level, scale=ct1.scale)
+
+    def sub(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        assert ct1.level == ct2.level and abs(ct1.scale - ct2.scale) < 1e-3
+        nl = ct1.level + 1
+        out = np.zeros_like(ct1.data)
+        for j in range(nl):
+            q = np.uint64(self.moduli[j])
+            with np.errstate(over="ignore"):
+                d = ct1.data[:, j] + q - ct2.data[:, j]
+            out[:, j] = np.where(d >= q, d - q, d)
+        return Ciphertext(data=out, level=ct1.level, scale=ct1.scale)
+
+    def add_plain(self, ct: Ciphertext, z) -> Ciphertext:
+        """ct + encode(z) at the ciphertext's scale."""
+        nl = ct.level + 1
+        m_int = self.encode(z, scale=ct.scale)
+        out = ct.data.copy()
+        m_ntt = self._to_ntt_limbs(m_int, nl)
+        for j in range(nl):
+            q = np.uint64(self.moduli[j])
+            with np.errstate(over="ignore"):
+                s = out[0, j] + m_ntt[j]
+            out[0, j] = np.where(s >= q, s - q, s)
+        return Ciphertext(data=out, level=ct.level, scale=ct.scale)
+
+    def multiply_plain(self, ct: Ciphertext, z) -> Ciphertext:
+        """ct * encode(z); scale multiplies (rescale afterwards)."""
+        nl = ct.level + 1
+        m_int = self.encode(z)
+        m_ntt = self._to_ntt_limbs(m_int, nl)
+        out = np.zeros_like(ct.data)
+        for k in range(2):
+            for j in range(nl):
+                q = self.moduli[j]
+                out[k, j] = (
+                    _obj(ct.data[k, j]) * m_ntt[j].astype(object) % q
+                ).astype(np.uint64)
+        return Ciphertext(data=out, level=ct.level, scale=ct.scale * self.scale)
+
+    def conjugate(self, ct: Ciphertext) -> Ciphertext:
+        """Complex conjugation of the slots: the Galois map X -> X^{2n-1}."""
+        return self._apply_galois(ct, 2 * self.n - 1)
+
     def rotate(self, ct: Ciphertext, r: int) -> Ciphertext:
         """Left-rotate slots by r: Galois automorphism + keyswitch."""
+        return self._apply_galois(ct, pow(5, r, 2 * self.n))
+
+    def _apply_galois(self, ct: Ciphertext, g: int) -> Ciphertext:
         nl = ct.level + 1
-        g = pow(5, r, 2 * self.n)
         # apply tau_g per limb in the coefficient domain (exact)
         rot = np.zeros_like(ct.data)
         for k in range(2):
@@ -295,5 +352,5 @@ class CkksContext:
                 )
         # keyswitch the c1(X^g) component from s(X^g) to s
         d01 = np.stack([rot[0], np.zeros_like(rot[0])])
-        out = self._keyswitch_accumulate(d01, rot[1], self.galois_keys(r))
+        out = self._keyswitch_accumulate(d01, rot[1], self._galois_keys_for(g))
         return Ciphertext(data=out, level=ct.level, scale=ct.scale)

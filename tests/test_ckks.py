@@ -62,6 +62,27 @@ def test_rotate(ctx):
         assert np.max(np.abs(back - want)) < 1e-3, f"rotation by {r}"
 
 
+def test_add_sub_plain_ops(ctx):
+    rng = np.random.default_rng(5)
+    z1 = rng.normal(size=ctx.slots)
+    z2 = rng.normal(size=ctx.slots)
+    ct1, ct2 = ctx.encrypt(z1), ctx.encrypt(z2)
+    assert np.max(np.abs(ctx.decrypt(ctx.add(ct1, ct2)) - (z1 + z2))) < 1e-4
+    assert np.max(np.abs(ctx.decrypt(ctx.sub(ct1, ct2)) - (z1 - z2))) < 1e-4
+    assert np.max(np.abs(ctx.decrypt(ctx.add_plain(ct1, z2)) - (z1 + z2))) < 1e-4
+    mp = ctx.rescale(ctx.multiply_plain(ct1, z2))
+    rel = np.max(np.abs(ctx.decrypt(mp) - z1 * z2))
+    assert rel < 1e-4
+
+
+def test_conjugate(ctx):
+    rng = np.random.default_rng(6)
+    z = rng.normal(size=ctx.slots) + 1j * rng.normal(size=ctx.slots)
+    ct = ctx.encrypt(z)
+    back = ctx.decrypt(ctx.conjugate(ct))
+    assert np.max(np.abs(back - np.conj(z))) < 1e-3
+
+
 def test_multiply_two_ciphertexts(ctx):
     rng = np.random.default_rng(4)
     z1 = rng.uniform(0.5, 1.5, size=ctx.slots)
