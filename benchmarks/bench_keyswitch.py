@@ -56,9 +56,9 @@ def main():
     # device-resident
     t = w.to_pair_np(ts.reshape(B, L, n))
     r = w.to_pair_np(rs.reshape(B, 2, L, n))
-    klo, khi = ctx.device_keys(vec.key_vectors)
+    keys = list(ctx.device_keys(vec.key_vectors))
     mlo, mhi = ctx.prepare_msf(vec.modswitch_factors)
-    args = [jnp.asarray(x) for x in (t[0], t[1])] + [klo, khi] + [
+    args = [jnp.asarray(x) for x in (t[0], t[1])] + keys + [
         jnp.asarray(x) for x in (r[0], r[1], mlo, mhi)]
     dt = time_fn(ctx._fn, *args, iters=max(10, iters))
     emit("keyswitch_throughput_device", B / dt, "op/s",

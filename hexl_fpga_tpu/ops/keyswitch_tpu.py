@@ -115,10 +115,10 @@ class KeySwitchTpuContext:
         olo, ohi = which[j](lo, hi)
         return olo[:B], ohi[:B]
 
-    def _build(self, t_lo, t_hi, keys_lo, keys_hi, res_lo, res_hi,
-               msf_lo, msf_hi):
-        """t: (B, L, n); keys: (L, comp, K, n); res: (B, comp, L, n);
-        msf: (K,) reduced modswitch factors."""
+    def _build(self, t_lo, t_hi, keys_lo, keys_hi, kp_lo, kp_hi,
+               res_lo, res_hi, msf_lo, msf_hi):
+        """t: (B, L, n); keys + key precons: (L, comp, K, n);
+        res: (B, comp, L, n); msf: (K,) reduced modswitch factors."""
         n, L, K, comp = self.n, self.L, self.K, self.comp
         B = t_lo.shape[0]
         moduli = self.moduli
@@ -133,9 +133,14 @@ class KeySwitchTpuContext:
             for i in range(L)
         ]
 
-        def mac(acc, val, key, q):
-            prod = w.mul_mod_static(val, key, q)
-            return prod if acc is None else w.add_mod(acc, prod, q)
+        def mac(acc, val, i, k, j, q):
+            # Harvey lazy multiply with the precomputed key precon; terms in
+            # [0, 2q) accumulate WITHOUT reduction (sum of <= L+1 terms stays
+            # < 2^56 for q <= 2^52); one Barrett canonicalizes at the end.
+            key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
+            kp = (kp_lo[i, k, j, :], kp_hi[i, k, j, :])
+            prod = w.mul_mod_lazy(val, key, kp, q)
+            return prod if acc is None else w.add64(acc, prod)
 
         # ---- special engine first (`dyadmult.hpp` engine K-1 + INTT2) ----
         sp = K - 1
@@ -149,8 +154,10 @@ class KeySwitchTpuContext:
         for i in range(L):
             val = (vlo[i * B : (i + 1) * B], vhi[i * B : (i + 1) * B])
             for k in range(comp):
-                key = (keys_lo[i, k, sp, :], keys_hi[i, k, sp, :])
-                acc_sp[k] = mac(acc_sp[k], val, key, qk)
+                acc_sp[k] = mac(acc_sp[k], val, i, k, sp, qk)
+        acc_sp = [
+            w.barrett_reduce64(a, qk, self.q_barr[sp]) for a in acc_sp
+        ]
         # INTT2 over both components in one call
         dlo, dhi = self._transform(
             self._inv, sp,
@@ -185,11 +192,10 @@ class KeySwitchTpuContext:
                 val = (vlo[idx * B : (idx + 1) * B],
                        vhi[idx * B : (idx + 1) * B])
                 for k in range(comp):
-                    key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
-                    acc[k] = mac(acc[k], val, key, q)
+                    acc[k] = mac(acc[k], val, i, k, j, q)
             for k in range(comp):
-                key = (keys_lo[j, k, j, :], keys_hi[j, k, j, :])
-                acc[k] = mac(acc[k], tp(j), key, q)
+                acc[k] = mac(acc[k], tp(j), j, k, j, q)
+            acc = [w.barrett_reduce64(a, q, self.q_barr[j]) for a in acc]
             # modswitch tail (`ms.hpp:27-84`) + host-style accumulate
             off = len(others) * B
             for k in range(comp):
@@ -217,17 +223,36 @@ class KeySwitchTpuContext:
         )
         return w.to_pair_np(keys)
 
+    def key_precons(self, keys: np.ndarray):
+        """floor(key << 64 / q_j) per element — the Harvey precon tables for
+        the in-flight MAC (one-time host precompute per key set)."""
+        prec = np.zeros_like(keys)
+        for j in range(self.K):
+            q = self.moduli[j]
+            col = keys[:, :, j, :].astype(object)
+            prec[:, :, j, :] = ((col << 64) // q).astype(np.uint64)
+        return prec
+
     def device_keys(self, k_switch_keys):
-        """Upload-once key cache, keyed by the key buffers' identity — the
-        analog of the reference's pointer-keyed keys_map_
+        """Upload-once key + precon cache, keyed by the key buffers' identity
+        — the analog of the reference's pointer-keyed keys_map_
         (`host/src/fpga.cpp:1158-1165`)."""
         if not hasattr(self, "_key_cache"):
             self._key_cache = {}
         kid = tuple(id(k) for k in k_switch_keys)
         hit = self._key_cache.get(kid)
         if hit is None:
-            klo, khi = self.prepare_keys(k_switch_keys)
-            hit = (jnp.asarray(klo), jnp.asarray(khi))
+            keys = np.stack(
+                [
+                    np.asarray(kv, dtype=np.uint64).reshape(
+                        self.comp, self.K, self.n
+                    )
+                    for kv in k_switch_keys
+                ]
+            )
+            klo, khi = w.to_pair_np(keys)
+            plo, phi = w.to_pair_np(self.key_precons(keys))
+            hit = tuple(jnp.asarray(x) for x in (klo, khi, plo, phi))
             self._key_cache = {kid: hit}  # single-slot like a fresh fence
         return hit
 
@@ -253,9 +278,11 @@ class KeySwitchTpuContext:
         r = w.to_pair_np(
             np.asarray(results, dtype=np.uint64).reshape(B, self.comp, L, n)
         )
-        klo, khi = self.device_keys(k_switch_keys)
+        klo, khi, plo, phi = self.device_keys(k_switch_keys)
         mlo, mhi = self.prepare_msf(modswitch_factors)
-        olo, ohi = self._fn(t[0], t[1], klo, khi, r[0], r[1], mlo, mhi)
+        olo, ohi = self._fn(
+            t[0], t[1], klo, khi, plo, phi, r[0], r[1], mlo, mhi
+        )
         return w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(B, -1)
 
 
