@@ -72,6 +72,7 @@ void dyadic_multiply(u64* results, const u64* op1, const u64* op2, u64 n,
                      const u64* moduli, u64 n_moduli) {
   // operands [2][n_moduli][n]; out [3][n_moduli][n]:
   // out0 = x0*y0, out1 = x0*y1 + x1*y0, out2 = x1*y1 per modulus
+#pragma omp parallel for schedule(static)
   for (u64 m = 0; m < n_moduli; ++m) {
     const u64 q = moduli[m];
     const u64* x0 = op1 + m * n;
@@ -123,8 +124,9 @@ void keyswitch(u64* result, const u64* t_target, u64 n, u64 decomp_size,
       engines.size(),
       std::vector<std::vector<u64>>(comp, std::vector<u64>(n, 0)));
 
-  std::vector<u64> red(n);
+#pragma omp parallel for schedule(dynamic)
   for (size_t e = 0; e < engines.size(); ++e) {
+    std::vector<u64> red(n);
     const u64 j = engines[e];
     const u64 q = moduli[j];
     const u64 q_barr = barrett_factor64(1, q);  // floor(2^64 / q)
@@ -157,7 +159,6 @@ void keyswitch(u64* result, const u64* t_target, u64 n, u64 decomp_size,
   // INTT under qk, +qk/2 centering, reduce into each q_i, NTT, subtract from
   // the q_i accumulator, scale by the reduced modswitch factor, accumulate
   // into the caller's result (fill_out_data, `host/src/fpga.cpp:441-475`).
-  std::vector<u64> f(n);
   for (u64 k = 0; k < comp; ++k) {
     std::vector<u64>& d = acc[engines.size() - 1][k];
     const NttTables& tbk = tables[K - 1];
@@ -168,7 +169,9 @@ void keyswitch(u64* result, const u64* t_target, u64 n, u64 decomp_size,
       if (e >= qk) e -= qk;
       d[c] = e;
     }
+#pragma omp parallel for schedule(dynamic)
     for (u64 i = 0; i < L; ++i) {
+      std::vector<u64> f(n);
       const u64 q = moduli[i];
       const u64 fix = q - (qk_half % q);
       const NttTables& tb = tables[i];
