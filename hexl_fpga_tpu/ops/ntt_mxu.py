@@ -53,7 +53,15 @@ from . import nt, twiddles, word64 as w
 
 Pair = Tuple[jnp.ndarray, jnp.ndarray]
 
-NLIMB = 7  # 7 x 8-bit limbs cover values < 2^56 (moduli are <= 2^52)
+NLIMB = 7  # max: 7 x 8-bit limbs cover values < 2^56 (moduli <= 2^52)
+
+
+def nlimb_for(q: int) -> int:
+    """8-bit limbs needed for the data domain [0, 2q) (lazy values included).
+
+    <= 47-bit moduli need only 6 limbs -> 36 instead of 49 int8 matmuls per
+    stage and a shorter recombination tail."""
+    return -(-(int(q).bit_length() + 1) // 8)
 
 
 # ---------------------------------------------------------------------------
@@ -61,19 +69,19 @@ NLIMB = 7  # 7 x 8-bit limbs cover values < 2^56 (moduli are <= 2^52)
 # ---------------------------------------------------------------------------
 
 
-def _limb_stack_matrix(M: np.ndarray, q: int):
+def _limb_stack_matrix(M: np.ndarray, q: int, nlimb: int = NLIMB):
     """Stack-by-limb encoding of an exact matrix for one-matmul-per-s use.
 
     M: (K, O) python-int matrix mod q.  Returns
-      gbig:   (NLIMB, NLIMB*K, O) int8 — gbig[s, t*K + j, o] =
+      gbig:   (nlimb, nlimb*K, O) int8 — gbig[s, t*K + j, o] =
               limb_s((2^{8t} * M[j, o]) mod q) - 128
-      corr:   (NLIMB, O) int32 — 128 * column sums of the int8 limbs
+      corr:   (nlimb, O) int32 — 128 * column sums of the int8 limbs
     """
     K, O = M.shape
-    gbig = np.zeros((NLIMB, NLIMB * K, O), dtype=np.int16)
-    for t in range(NLIMB):
+    gbig = np.zeros((nlimb, nlimb * K, O), dtype=np.int16)
+    for t in range(nlimb):
         Mt = (M.astype(object) * pow(2, 8 * t, q)) % q
-        for s in range(NLIMB):
+        for s in range(nlimb):
             gbig[s, t * K : (t + 1) * K, :] = ((Mt >> (8 * s)) & 0xFF).astype(
                 np.int16
             ) - 128
@@ -81,11 +89,11 @@ def _limb_stack_matrix(M: np.ndarray, q: int):
     return gbig.astype(np.int8), corr.astype(np.int32)
 
 
-def _w_tables(W: np.ndarray, q: int):
+def _w_tables(W: np.ndarray, q: int, nlimb: int = NLIMB):
     """Per-s twiddle tables (2^{8s} * W) mod q as uint32 pairs.
 
     W: element table (or scalar 1) folded into the stage-s recombination."""
-    tabs = np.stack([(W.astype(object) * pow(2, 8 * s, q)) % q for s in range(NLIMB)])
+    tabs = np.stack([(W.astype(object) * pow(2, 8 * s, q)) % q for s in range(nlimb)])
     return w.to_pair_np(tabs.astype(np.uint64))
 
 
@@ -145,6 +153,7 @@ def make_plan(n: int, q: int, n1: int = 128, psi: int | None = None):
     c64 = pow(2, 64, q)
     q_barr = ((1 << 64) // q) & ((1 << 64) - 1)
     ones = np.ones((1, 1), dtype=object)
+    nl = nlimb_for(q)
 
     def lazy_tab(W):
         """(W, W_precon) uint32 pairs for the Harvey lazy twiddle multiply."""
@@ -156,23 +165,23 @@ def make_plan(n: int, q: int, n1: int = 128, psi: int | None = None):
         return w.to_pair_np(Wu), w.to_pair_np(prec)
 
     plan = {
-        "n": n, "q": q, "n1": n1, "n2": n2,
+        "n": n, "q": q, "n1": n1, "n2": n2, "nlimb": nl,
         "c64": np.uint64(c64),
         "q_barr": np.uint64(q_barr),
         # stage 1 fwd: left-matmul, contraction j1; matrix used as (j1, m1)
-        "f1": _limb_stack_matrix(G1, q),
-        "f1_w": _w_tables(U, q),                       # (s, m1, j2)
+        "f1": _limb_stack_matrix(G1, q, nl),
+        "f1_w": _w_tables(U, q, nl),                   # (s, m1, j2)
         "f1_u": lazy_tab(U),                           # lazy-multiply form
         # stage 2 fwd: right-matmul, contraction j2; matrix (j2, m2)
-        "f2": _limb_stack_matrix(G2, q),
-        "f2_w": _w_tables(np.broadcast_to(ones, (1, 1)).copy(), q),  # scalar 1
+        "f2": _limb_stack_matrix(G2, q, nl),
+        "f2_w": _w_tables(np.broadcast_to(ones, (1, 1)).copy(), q, nl),
         # stage 1 inv: right-matmul, contraction m2; matrix (m2, j2)
-        "i1": _limb_stack_matrix(H2, q),
-        "i1_w": _w_tables(V, q),                       # (s, m1, j2)
+        "i1": _limb_stack_matrix(H2, q, nl),
+        "i1_w": _w_tables(V, q, nl),                   # (s, m1, j2)
         "i1_v": lazy_tab(V),
         # stage 2 inv: left-matmul, contraction m1; matrix (m1, j1)
-        "i2": _limb_stack_matrix(H1.T.copy(), q),
-        "i2_w": _w_tables(np.broadcast_to(ones, (1, 1)).copy(), q),
+        "i2": _limb_stack_matrix(H1.T.copy(), q, nl),
+        "i2_w": _w_tables(np.broadcast_to(ones, (1, 1)).copy(), q, nl),
     }
     return plan
 
@@ -182,14 +191,14 @@ def make_plan(n: int, q: int, n1: int = 128, psi: int | None = None):
 # ---------------------------------------------------------------------------
 
 
-def _data_limbs_axis(lo, hi, axis: int):
-    """Split u32-pair data into NLIMB uint8 limbs stacked along `axis`.
+def _data_limbs_axis(lo, hi, axis: int, nlimb: int = NLIMB):
+    """Split u32-pair data into nlimb uint8 limbs stacked along `axis`.
 
-    Values must be < 2^56 (they are < q <= 2^52).  Returns
-      stacked int8 (limb value - 128) with axis size NLIMB * K,
+    Values must fit nlimb*8 bits (lazy [0,2q) included).  Returns
+      stacked int8 (limb value - 128) with axis size nlimb * K,
       rowsum int32 (sum of raw uint8 limbs over that axis)."""
     limbs = []
-    for t in range(NLIMB):
+    for t in range(nlimb):
         if t < 4:
             v = (lo >> (8 * t)) & 0xFF
         else:
@@ -257,11 +266,12 @@ def _stage_left(lo, hi, gbig, corr, w_pair, q, c64, q_barr):
     lo/hi: (K, B, C) u32 planes; gbig (s, NLIMB*K, n_out) int8;
     corr (s, n_out) int32; w_pair ((s, m, c) lo, hi) broadcast over B."""
     K, B, C = lo.shape
-    a, rowsum = _data_limbs_axis(lo, hi, axis=0)  # (7K, B, C), (B, C)
-    a2 = a.reshape(NLIMB * K, B * C)
+    nlimb = gbig.shape[0]
+    a, rowsum = _data_limbs_axis(lo, hi, axis=0, nlimb=nlimb)
+    a2 = a.reshape(nlimb * K, B * C)
     S_list, wlo_list, whi_list = [], [], []
     n_out = gbig.shape[2]
-    for s in range(NLIMB):
+    for s in range(nlimb):
         dot = jax.lax.dot_general(
             gbig[s], a2,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -288,9 +298,10 @@ def _stage_right(lo, hi, gbig, corr, w_pair, q, c64, q_barr):
 
     lo/hi: (R, C) u32 planes; gbig (s, NLIMB*C, n_out)."""
     R, C = lo.shape
-    a, rowsum = _data_limbs_axis(lo, hi, axis=1)  # (R, 7C), (R,)
+    nlimb = gbig.shape[0]
+    a, rowsum = _data_limbs_axis(lo, hi, axis=1, nlimb=nlimb)
     S_list, wlo_list, whi_list = [], [], []
-    for s in range(NLIMB):
+    for s in range(nlimb):
         dot = jax.lax.dot_general(
             a, gbig[s],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -351,12 +362,13 @@ def inv_ntt_core(x: Pair, n: int, q: int, plan=None) -> Pair:
     lo1 = lo.reshape(B, n1, n2).transpose(1, 0, 2)
     hi1 = hi.reshape(B, n1, n2).transpose(1, 0, 2)
     g, corr = plan["i1"]
+    nlimb = g.shape[0]
     # run the matmul in (n1*B, n2) shape, then reshape for the (m1, j2) table
     a, rowsum = _data_limbs_axis(
-        lo1.reshape(n1 * B, n2), hi1.reshape(n1 * B, n2), axis=1
+        lo1.reshape(n1 * B, n2), hi1.reshape(n1 * B, n2), axis=1, nlimb=nlimb
     )
     S_list, wlo_list, whi_list = [], [], []
-    for s in range(NLIMB):
+    for s in range(nlimb):
         dot = jax.lax.dot_general(
             a, jnp.asarray(g)[s],
             dimension_numbers=(((1,), (0,)), ((), ())),

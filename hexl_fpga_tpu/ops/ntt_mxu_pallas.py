@@ -48,10 +48,10 @@ DEFAULT_TILE_P = 4
 # ---------------------------------------------------------------------------
 
 
-def _limbs_axis0(lo, hi):
-    """(K, C) u32 pair -> int8 limbs (NLIMB*K, C) and uint-rowsum (1, C)."""
+def _limbs_axis0(lo, hi, nlimb):
+    """(K, C) u32 pair -> int8 limbs (nlimb*K, C) and uint-rowsum (1, C)."""
     limbs = []
-    for t in range(NLIMB):
+    for t in range(nlimb):
         v = ((lo >> (8 * t)) & 0xFF) if t < 4 else ((hi >> (8 * (t - 4))) & 0xFF)
         limbs.append(v)
     u = jnp.concatenate(limbs, axis=0)
@@ -59,10 +59,10 @@ def _limbs_axis0(lo, hi):
     return (u.astype(jnp.int32) - 128).astype(jnp.int8), rowsum
 
 
-def _limbs_axis1(lo, hi):
-    """(R, C) u32 pair -> int8 limbs (R, NLIMB*C) and uint-rowsum (R, 1)."""
+def _limbs_axis1(lo, hi, nlimb):
+    """(R, C) u32 pair -> int8 limbs (R, nlimb*C) and uint-rowsum (R, 1)."""
     limbs = []
-    for t in range(NLIMB):
+    for t in range(nlimb):
         v = ((lo >> (8 * t)) & 0xFF) if t < 4 else ((hi >> (8 * (t - 4))) & 0xFF)
         limbs.append(v)
     u = jnp.concatenate(limbs, axis=1)
@@ -131,9 +131,10 @@ def _stage_left_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
     """(K, C) u32 pair -> (n_out, C): left matmul, shift-assembly, then
     either a lazy twiddle multiply (tables pre-tiled to the working shape;
     no Barrett needed) or a canonical Barrett."""
-    a, rowsum = _limbs_axis0(lo, hi)
+    nlimb = g_ref.shape[0]
+    a, rowsum = _limbs_axis0(lo, hi, nlimb)
     S_list = []
-    for s in range(NLIMB):
+    for s in range(nlimb):
         dot = jax.lax.dot_general(
             g_ref[s], a,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -153,10 +154,11 @@ def _stage_right_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
     With w_tables ((n1, n_out) x4), rows are (p, m1) with m1 minor; the lazy
     multiply runs in (P, n1, n_out) shape so the table broadcasts along the
     leading poly axis (and replaces the Barrett)."""
-    a, rowsum = _limbs_axis1(lo, hi)
+    nlimb = g_ref.shape[0]
+    a, rowsum = _limbs_axis1(lo, hi, nlimb)
     R = lo.shape[0]
     S_list = []
-    for s in range(NLIMB):
+    for s in range(nlimb):
         dot = jax.lax.dot_general(
             a, g_ref[s],
             dimension_numbers=(((1,), (0,)), ((), ())),
