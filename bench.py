@@ -34,7 +34,7 @@ def main():
 
     n = 16384
     q = nt.generate_primes(1, 51, n)[0]
-    B = int(os.environ.get("BENCH_BATCH", 512))
+    B = int(os.environ.get("BENCH_BATCH", 4096))
     TP = int(os.environ.get("BENCH_TILE_P", 4))
     rng = np.random.default_rng(0)
     a = rng.integers(0, q, size=(B, n), dtype=np.uint64)
@@ -54,7 +54,7 @@ def main():
         got = w.from_pair_np(np.asarray(out[0][:4]), np.asarray(out[1][:4]))
         np.testing.assert_array_equal(got, golden.fwd_ntt(a[:4], q))
         log(f"[{label}] bit-exact vs golden: OK")
-        iters = int(os.environ.get("BENCH_ITERS", 50))
+        iters = int(os.environ.get("BENCH_ITERS", 10))
         best = 1e18
         for _ in range(2):
             t0 = time.time()
