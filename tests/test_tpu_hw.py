@@ -48,6 +48,34 @@ def test_keyswitch_benchmark_config_hw():
     np.testing.assert_array_equal(got, vec.expected_output)
 
 
+def test_fuzz_random_configs_hw():
+    """Randomized config fuzz on hardware: the TPU keyswitch across random
+    (n, L, K, prime widths) must match the golden model bit for bit."""
+    from hexl_fpga_tpu.ops import keyswitch_tpu
+    from hexl_fpga_tpu.utils import vectors
+
+    rng = np.random.default_rng(2026)
+    for trial in range(3):
+        n = int(rng.choice([1024, 2048, 4096]))
+        L = int(rng.integers(2, 5))
+        K = L + 1
+        bits = int(rng.integers(30, 52))
+        vec = vectors.make_keyswitch_vector(
+            n, L, K, seed=trial, modulus_bits=bits
+        )
+        ctx = keyswitch_tpu.KeySwitchTpuContext(
+            n, L, K, L + 1, 2, vec.moduli, vec.twiddle_factors, tile_p=2
+        )
+        got = ctx.run(
+            vec.input, vec.t_target_iter_ptr, vec.key_vectors,
+            vec.modswitch_factors,
+        )
+        np.testing.assert_array_equal(
+            got, vec.expected_output,
+            err_msg=f"config n={n} L={L} K={K} bits={bits}",
+        )
+
+
 def test_api_accelerated_hw():
     from hexl_fpga_tpu import api
     from hexl_fpga_tpu.ops import golden, nt, twiddles
