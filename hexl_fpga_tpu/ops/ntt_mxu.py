@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import nt, twiddles, word64 as w
+from . import nt, word64 as w
 
 Pair = Tuple[jnp.ndarray, jnp.ndarray]
 

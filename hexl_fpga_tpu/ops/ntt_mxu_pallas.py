@@ -34,8 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import nt, word64 as w
-from .ntt_mxu import NLIMB, make_plan
+from . import word64 as w
+from .ntt_mxu import make_plan
 from ..utils.retry import call_with_retry
 
 Pair = Tuple[jnp.ndarray, jnp.ndarray]
