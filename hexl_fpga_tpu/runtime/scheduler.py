@@ -133,12 +133,16 @@ class Device:
         self.thread.start()
 
     def _run(self) -> None:
-        while not self.buffer.closed:
+        while True:
             try:
                 batch = self.buffer.pop_batch(self.batch_sizes)
             except Exception:
                 break
             if not batch:
+                # drain fully before exiting on release(): a waiter inside
+                # completed() must never be left spinning on an un-run item
+                if self.buffer.closed and len(self.buffer) == 0:
+                    break
                 continue
             t0 = time.perf_counter()
             try:
