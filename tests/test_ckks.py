@@ -75,6 +75,25 @@ def test_add_sub_plain_ops(ctx):
     assert rel < 1e-4
 
 
+def test_depth2_circuit(ctx):
+    """Depth-2 evaluation with rescaling at each level: z^2 * z — exercises
+    level tracking, scale management, and keyswitching twice."""
+    # |z| < 1 keeps the pre-rescale level-1 message (z^3 * scale^2 ~ 2^90)
+    # under Q_1/2 (~2^90.4 with two 46-bit primes) — the standard CKKS
+    # integer-budget constraint (SEAL uses a wider q_0 for extra headroom)
+    rng = np.random.default_rng(9)
+    z = rng.uniform(0.5, 0.9, size=ctx.slots)
+    ct = ctx.encrypt(z)
+    sq = ctx.rescale(ctx.multiply_relin(ct, ct))        # level L-2, scale ~2^45
+    # bring ct to the same level by a plaintext-1 multiply + rescale
+    ct_l1 = ctx.rescale(ctx.multiply_plain(ct, np.ones(ctx.slots)))
+    assert ct_l1.level == sq.level
+    cube = ctx.rescale(ctx.multiply_relin(sq, ct_l1))   # level L-3
+    back = ctx.decrypt(cube)
+    rel = np.max(np.abs(back - z ** 3) / np.abs(z ** 3))
+    assert rel < 1e-3, f"depth-2 relative error {rel}"
+
+
 def test_conjugate(ctx):
     rng = np.random.default_rng(6)
     z = rng.normal(size=ctx.slots) + 1j * rng.normal(size=ctx.slots)
