@@ -94,10 +94,16 @@ class KeySwitchTpuContext:
         self.qk = self.moduli[self.K - 1]
         self.qk_half = self.qk >> 1
         self.q_barr = [nt.barrett_factor(1, 64, q) for q in self.moduli]
-        # fused-Pallas transform callables (unjitted; composed in one jit)
+        # fused-Pallas transform callables (unjitted; composed in one jit).
+        # Forward transforms emit LAZY u64 representatives — their consumers
+        # (the Harvey lazy MAC, the tail's Barrett into the SAME modulus) are
+        # all mod-q_j-linear, so any representative is exact.  The inverse
+        # transforms MUST stay canonical: INTT1's output value is reduced
+        # into OTHER moduli (intt1_redu) and INTT2's into AddUIntMod — both
+        # depend on the integer representative, not just the residue.
         self._fwd = [
             ntt_mxu_pallas.raw_fwd_call(n, q, tile_p, psi=self.psi[j],
-                                        interpret=interpret)
+                                        interpret=interpret, canonical=False)
             for j, q in enumerate(self.moduli)
         ]
         self._inv = [
@@ -196,11 +202,15 @@ class KeySwitchTpuContext:
             for k in range(comp):
                 acc[k] = mac(acc[k], tp(j), j, k, j, q)
             acc = [w.barrett_reduce64(a, q, self.q_barr[j]) for a in acc]
-            # modswitch tail (`ms.hpp:27-84`) + host-style accumulate
+            # modswitch tail (`ms.hpp:27-84`) + host-style accumulate; the
+            # lazy-output transform's u64 representative reduces here
             off = len(others) * B
             for k in range(comp):
-                g = (vlo[off + k * B : off + (k + 1) * B],
-                     vhi[off + k * B : off + (k + 1) * B])
+                g = w.barrett_reduce64(
+                    (vlo[off + k * B : off + (k + 1) * B],
+                     vhi[off + k * B : off + (k + 1) * B]),
+                    q, self.q_barr[j],
+                )
                 t1 = w.reduce_mod_factor(
                     w.add64(w.sub64(acc[k], g), 4 * q), q, 8
                 )

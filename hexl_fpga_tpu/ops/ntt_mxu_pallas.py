@@ -127,7 +127,7 @@ def _lazy_twiddle(x, wt, q: int):
 
 
 def _stage_left_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
-                         w_tables=None):
+                         w_tables=None, canonical=True):
     """(K, C) u32 pair -> (n_out, C): left matmul, shift-assembly, then
     either a lazy twiddle multiply (tables pre-tiled to the working shape;
     no Barrett needed) or a canonical Barrett."""
@@ -144,11 +144,13 @@ def _stage_left_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
     vv = _assemble_fold(S_list, c64)
     if w_tables is not None:
         return _lazy_twiddle(vv, w_tables, q)
+    if not canonical:
+        return vv  # any-u64 representative; consumer reduces
     return _barrett_canonical(vv, q, q_barr)
 
 
 def _stage_right_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
-                          w_tables=None, n1=None):
+                          w_tables=None, n1=None, canonical=True):
     """(R, C) u32 pair -> (R, n_out): right matmul + shift-assembly.
 
     With w_tables ((n1, n_out) x4), rows are (p, m1) with m1 minor; the lazy
@@ -172,6 +174,8 @@ def _stage_right_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
         wt3 = tuple(t[None, :, :] for t in w_tables)
         out3 = _lazy_twiddle(x3, wt3, q)
         return (out3[0].reshape(R, -1), out3[1].reshape(R, -1))
+    if not canonical:
+        return vv  # any-u64 representative; consumer reduces
     return _barrett_canonical(vv, q, q_barr)
 
 
@@ -180,7 +184,7 @@ def _stage_right_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(n: int, q: int, tile_p: int, plan):
+def _fwd_kernel(n: int, q: int, tile_p: int, plan, canonical=True):
     # Dataflow keeps the lane (minor) axis aligned through both stages —
     # j2 -> j2 -> m2 — so the only data movements are cheap major-axis swaps:
     #   in (P, n1, n2) --(1,0,2)--> (n1, P*n2)   stage-1 LEFT matmul (over j1)
@@ -202,7 +206,7 @@ def _fwd_kernel(n: int, q: int, tile_p: int, plan):
         # (n1, P*n2) == (n1*P, n2) view: stage-2 contraction on minor axis
         olo, ohi = _stage_right_inkernel(
             clo.reshape(n1 * tile_p, n2), chi.reshape(n1 * tile_p, n2),
-            g2_ref, c2_ref, q, c64, q_barr,
+            g2_ref, c2_ref, q, c64, q_barr, canonical=canonical,
         )
         olo_ref[:] = jnp.transpose(olo.reshape(n1, tile_p, n2), (1, 0, 2))
         ohi_ref[:] = jnp.transpose(ohi.reshape(n1, tile_p, n2), (1, 0, 2))
@@ -210,7 +214,7 @@ def _fwd_kernel(n: int, q: int, tile_p: int, plan):
     return kernel
 
 
-def _inv_kernel(n: int, q: int, tile_p: int, plan):
+def _inv_kernel(n: int, q: int, tile_p: int, plan, canonical=True):
     n1, n2 = plan["n1"], plan["n2"]
     c64, q_barr = int(plan["c64"]), int(plan["q_barr"])
 
@@ -231,7 +235,7 @@ def _inv_kernel(n: int, q: int, tile_p: int, plan):
             n1, tile_p * n2
         )
         olo, ohi = _stage_left_inkernel(
-            plo, phi, g2_ref, c2_ref, q, c64, q_barr,
+            plo, phi, g2_ref, c2_ref, q, c64, q_barr, canonical=canonical,
         )
         olo_ref[:] = jnp.transpose(
             olo.reshape(n1, tile_p, n2), (1, 0, 2)
@@ -339,19 +343,26 @@ def inv_ntt_fn(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
 
 
 def raw_fwd_call(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
-                 psi: int | None = None, interpret: bool = False):
-    """Unjitted fused-forward callable for composition inside a larger jit."""
+                 psi: int | None = None, interpret: bool = False,
+                 canonical: bool = True):
+    """Unjitted fused-forward callable for composition inside a larger jit.
+
+    canonical=False emits any-u64 representatives (the final Barrett is
+    skipped) for consumers that reduce themselves — e.g. the keyswitch MAC's
+    Harvey lazy multiply, which is exact for any u64 input."""
     plan = make_plan(n, q, _pick_n1(n), psi)
-    kernel = _fwd_kernel(n, q, tile_p, plan)
+    kernel = _fwd_kernel(n, q, tile_p, plan, canonical)
     return _make_call(kernel, plan["n1"], plan["n2"], tile_p,
                       _fwd_tabs(plan, tile_p), interpret)
 
 
 def raw_inv_call(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
-                 psi: int | None = None, interpret: bool = False):
-    """Unjitted fused-inverse callable for composition inside a larger jit."""
+                 psi: int | None = None, interpret: bool = False,
+                 canonical: bool = True):
+    """Unjitted fused-inverse callable for composition inside a larger jit
+    (see raw_fwd_call for the canonical flag)."""
     plan = make_plan(n, q, _pick_n1(n), psi)
-    kernel = _inv_kernel(n, q, tile_p, plan)
+    kernel = _inv_kernel(n, q, tile_p, plan, canonical)
     return _make_call(kernel, plan["n1"], plan["n2"], tile_p, _inv_tabs(plan),
                       interpret)
 
