@@ -104,10 +104,20 @@ void KeySwitch(uint64_t* result, const uint64_t* t_target_iter_ptr, uint64_t n,
         "requires n = 16384 / 8192 / 4096 / 2048 / 1024");
   Check(decomp_modulus_size > 0, "requires decomp_modulus_size > 0");
   Check(key_modulus_size <= 7, "requires key_modulus_size <= 7");
+  // The compute path indexes tables/moduli up to key_modulus_size-1 (the
+  // special modulus) for every decomp engine: key_modulus_size must strictly
+  // exceed decomp_modulus_size or the engine loop would read out of bounds.
+  Check(key_modulus_size > decomp_modulus_size,
+        "requires key_modulus_size > decomp_modulus_size");
   Check(rns_modulus_size > 0, "requires rns_modulus_size > 0");
+  // rns sizes the engine set (`host/src/fpga.cpp:1049-1068`); this build
+  // supports the shipped configurations where rns = decomp + 1.
+  Check(rns_modulus_size == decomp_modulus_size + 1,
+        "requires rns_modulus_size = decomp_modulus_size + 1");
   Check(key_component_count == 2, "requires key_component_count = 2");
   Check(moduli != nullptr, "requires moduli != nullptr");
-  for (uint64_t i = 0; i < decomp_modulus_size; ++i)
+  // range-check every modulus the kernel touches, special prime included
+  for (uint64_t i = 0; i < key_modulus_size; ++i)
     Check(moduli[i] >= (uint64_t(1) << 16) && moduli[i] <= (uint64_t(1) << 52),
           "requires each modulus in [2^16, 2^52]");
   Check(k_switch_keys != nullptr, "requires k_switch_keys != nullptr");

@@ -3,7 +3,9 @@
 #include <chrono>
 #include <cstdio>
 #include <cstdlib>
+#include <deque>
 #include <map>
+#include <memory>
 
 #include "compute.hpp"
 
@@ -40,9 +42,30 @@ RuntimeConfig RuntimeConfig::FromEnv() {
 namespace {
 
 std::mutex g_tables_mu;
-std::map<std::string, std::vector<NttTables>> g_tables_cache;
+// shared_ptr entries so eviction is safe while a worker still uses a table
+// set; bounded so long-running processes cannot grow the cache without limit
+std::map<std::string, std::shared_ptr<const std::vector<NttTables>>>
+    g_tables_cache;
+std::deque<std::string> g_tables_order;
+constexpr size_t kTablesCacheSlots = 16;
 
-const std::vector<NttTables>& GetKeySwitchTables(const hexl_tpu_keyswitch_op& op) {
+// FNV-1a over a strided sample of the twiddle buffer: the cache key must
+// depend on buffer CONTENTS, not just the pointer — a freed-and-reallocated
+// buffer at the same address with different tables must miss.
+uint64_t TwiddleFingerprint(const uint64_t* tw, uint64_t words) {
+  uint64_t h = 1469598103934665603ull;
+  auto mix = [&h](uint64_t v) {
+    h ^= v;
+    h *= 1099511628211ull;
+  };
+  const uint64_t stride = words > 256 ? words / 256 : 1;
+  for (uint64_t i = 0; i < words; i += stride) mix(tw[i]);
+  mix(tw[words - 1]);
+  return h;
+}
+
+std::shared_ptr<const std::vector<NttTables>> GetKeySwitchTables(
+    const hexl_tpu_keyswitch_op& op) {
   std::string key;
   key.reserve(64);
   key.append(reinterpret_cast<const char*>(&op.n), sizeof(op.n));
@@ -52,19 +75,30 @@ const std::vector<NttTables>& GetKeySwitchTables(const hexl_tpu_keyswitch_op& op
              op.key_modulus_size * sizeof(uint64_t));
   key.append(reinterpret_cast<const char*>(&op.twiddle_factors),
              sizeof(op.twiddle_factors));
+  if (op.twiddle_factors) {
+    const uint64_t fp =
+        TwiddleFingerprint(op.twiddle_factors, 4 * op.n * op.key_modulus_size);
+    key.append(reinterpret_cast<const char*>(&fp), sizeof(fp));
+  }
   std::lock_guard<std::mutex> lock(g_tables_mu);
   auto it = g_tables_cache.find(key);
   if (it != g_tables_cache.end()) return it->second;
-  std::vector<NttTables> tabs;
+  auto tabs = std::make_shared<std::vector<NttTables>>();
   for (uint64_t j = 0; j < op.key_modulus_size; ++j) {
     if (op.twiddle_factors) {
-      tabs.push_back(tables_from_keyswitch_buffer(
+      tabs->push_back(tables_from_keyswitch_buffer(
           op.twiddle_factors + j * 4 * op.n, op.n, op.moduli[j]));
     } else {
-      tabs.push_back(make_ntt_tables(op.n, op.moduli[j]));
+      tabs->push_back(make_ntt_tables(op.n, op.moduli[j]));
     }
   }
-  return g_tables_cache.emplace(std::move(key), std::move(tabs)).first->second;
+  g_tables_cache.emplace(key, tabs);
+  g_tables_order.push_back(key);
+  while (g_tables_order.size() > kTablesCacheSlots) {
+    g_tables_cache.erase(g_tables_order.front());
+    g_tables_order.pop_front();
+  }
+  return tabs;
 }
 
 }  // namespace
@@ -141,7 +175,15 @@ void DevicePool::Enqueue(std::unique_ptr<WorkItem> item) {
     not_full_.wait(lock, [&] {
       return static_cast<int>(queue_.size()) < cfg_.bufsize || closed_;
     });
-    if (closed_) return;
+    if (closed_) {
+      // Enqueue after release_FPGA_resources(): silently dropping the item
+      // would let a later Completed() report success with the caller's
+      // result buffer never written — abort like the other argument errors.
+      std::fprintf(stderr,
+                   "hexl-tpu assertion failed: enqueue after "
+                   "release_FPGA_resources()\n");
+      std::abort();
+    }
     // fence when idle or when the static config changed vs the previous op
     // of this type (`fpga_int.cpp:263-273,429-448`)
     item->fence = queue_.empty() || !has_last_key_[ti] ||
@@ -246,10 +288,10 @@ void DevicePool::RunBatch(std::vector<WorkItem*>& batch) {
       }
       case OpType::kKeySwitch: {
         const auto& op = it->ks;
-        const auto& tabs = GetKeySwitchTables(op);
+        const auto tabs = GetKeySwitchTables(op);
         keyswitch(op.result, op.t_target, op.n, op.decomp_modulus_size,
                   op.key_modulus_size, op.key_component_count, op.moduli,
-                  op.k_switch_keys, op.modswitch_factors, tabs.data());
+                  op.k_switch_keys, op.modswitch_factors, tabs->data());
         break;
       }
       case OpType::kNtt: {

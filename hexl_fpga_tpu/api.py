@@ -103,6 +103,18 @@ def KeySwitch(
     hexl_assert(decomp_modulus_size > 0, "requires decomp_modulus_size > 0")
     hexl_assert(key_modulus_size <= 7, "requires key_modulus_size <= 7")
     hexl_assert(rns_modulus_size > 0, "requires rns_modulus_size > 0")
+    # rns sizes the engine set in the reference (`host/src/fpga.cpp:1049-1068`);
+    # this build supports the shipped configurations where rns = decomp + 1
+    # (L decomp engines + the special engine) — reject anything else rather
+    # than silently dropping the parameter.
+    hexl_assert(
+        rns_modulus_size == decomp_modulus_size + 1,
+        "requires rns_modulus_size = decomp_modulus_size + 1",
+    )
+    hexl_assert(
+        key_modulus_size > decomp_modulus_size,
+        "requires key_modulus_size > decomp_modulus_size",
+    )
     hexl_assert(key_component_count == 2, "requires key_component_count = 2")
     hexl_assert(moduli is not None, "requires moduli != nullptr")
     for i in range(decomp_modulus_size):

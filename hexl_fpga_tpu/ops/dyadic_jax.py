@@ -73,8 +73,11 @@ def moduli_meta(moduli: np.ndarray):
     return lens, barrs
 
 
-def dyadic_multiply_batched(op1, op2, moduli) -> np.ndarray:
-    """op1/op2: (B, 2, M, n) u64; moduli: (B, M). Returns (B, 3, M, n) u64."""
+def dyadic_multiply_batched_dispatch(op1, op2, moduli):
+    """Async form of dyadic_multiply_batched: stages inputs, dispatches the
+    jitted program, and returns the (lo, hi) device arrays without blocking
+    (XLA async dispatch is the reference's credit pipeline,
+    `host/src/fpga.cpp:689-694`)."""
     op1 = np.asarray(op1, dtype=np.uint64)
     op2 = np.asarray(op2, dtype=np.uint64)
     B, _, M, n = op1.shape
@@ -87,10 +90,15 @@ def dyadic_multiply_batched(op1, op2, moduli) -> np.ndarray:
     o2 = w.to_pair_np(op2)
     qp = w.to_pair_np(moduli.reshape(B, M, 1))
     bp = w.to_pair_np(barrs.reshape(B, M, 1))
-    lo, hi = _dyadic_jit()(
+    return _dyadic_jit()(
         o1[0], o1[1], o2[0], o2[1], qp[0], qp[1], bp[0], bp[1],
         lens.reshape(B, M, 1),
     )
+
+
+def dyadic_multiply_batched(op1, op2, moduli) -> np.ndarray:
+    """op1/op2: (B, 2, M, n) u64; moduli: (B, M). Returns (B, 3, M, n) u64."""
+    lo, hi = dyadic_multiply_batched_dispatch(op1, op2, moduli)
     return w.from_pair_np(np.asarray(lo), np.asarray(hi))
 
 

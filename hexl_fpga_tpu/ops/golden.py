@@ -252,6 +252,12 @@ def keyswitch(
       twiddle_factors: optional caller table in the keyswitch host layout
         (key_modulus_size x [inv, precon_inv, fwd, precon_fwd] x n).
     """
+    # rns sizes the engine set in the reference (`host/src/fpga.cpp:1049-1068`);
+    # this model implements the shipped rns == decomp + 1 configurations.
+    assert rns_modulus_size == decomp_modulus_size + 1, (
+        "rns_modulus_size must equal decomp_modulus_size + 1"
+    )
+    assert key_modulus_size > decomp_modulus_size
     moduli = [int(m) for m in moduli]
     qk = moduli[key_modulus_size - 1]
     qk_half = qk >> 1

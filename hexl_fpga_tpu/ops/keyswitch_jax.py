@@ -74,6 +74,13 @@ class KeySwitchContext:
         twiddle_factors: Optional[np.ndarray] = None,
     ):
         assert key_component_count == 2, "key_component_count must be 2"
+        # rns threads through the reference's engine count
+        # (`host/src/fpga.cpp:1049-1068`); the shipped configurations all
+        # satisfy rns == decomp + 1 — enforce instead of silently ignoring.
+        assert rns_modulus_size == decomp_modulus_size + 1, (
+            "rns_modulus_size must equal decomp_modulus_size + 1 "
+            f"(got rns={rns_modulus_size}, decomp={decomp_modulus_size})"
+        )
         self.n = n
         self.L = decomp_modulus_size
         self.K = key_modulus_size
@@ -179,8 +186,10 @@ class KeySwitchContext:
             modswitch_factors,
         )[0]
 
-    def run_batch(self, results, t_targets, k_switch_keys, modswitch_factors):
-        """results: (B, comp*L*n), t_targets: (B, L*n) -> (B, comp*L*n)."""
+    def dispatch_batch(self, results, t_targets, k_switch_keys,
+                       modswitch_factors):
+        """Stage + dispatch without blocking; returns (lo, hi) device
+        arrays shaped (B, comp, L, n)."""
         B = results.shape[0]
         n, L = self.n, self.L
         t = w.to_pair_np(np.asarray(t_targets, dtype=np.uint64).reshape(B, L, n))
@@ -189,7 +198,14 @@ class KeySwitchContext:
         )
         klo, khi = self.prepare_keys(k_switch_keys)
         mlo, mhi = self.prepare_msf(modswitch_factors)
-        olo, ohi = self._fn(t[0], t[1], klo, khi, r[0], r[1], mlo, mhi)
+        return self._fn(t[0], t[1], klo, khi, r[0], r[1], mlo, mhi)
+
+    def run_batch(self, results, t_targets, k_switch_keys, modswitch_factors):
+        """results: (B, comp*L*n), t_targets: (B, L*n) -> (B, comp*L*n)."""
+        olo, ohi = self.dispatch_batch(
+            results, t_targets, k_switch_keys, modswitch_factors
+        )
+        B = results.shape[0]
         return w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(B, -1)
 
 
@@ -199,7 +215,9 @@ def _context_cached(n, L, K, rns, comp, moduli, tw_key):
     return KeySwitchContext(n, L, K, rns, comp, list(moduli), tw)
 
 
-_TWIDDLE_STASH: dict = {}
+# digest-keyed, bounded: see keyswitch_tpu._TWIDDLE_STASH for rationale
+_TWIDDLE_STASH: "dict[bytes, np.ndarray]" = {}
+_TWIDDLE_STASH_SLOTS = 32
 
 
 def get_context(
@@ -212,9 +230,14 @@ def get_context(
     twiddle_factors=None,
 ) -> KeySwitchContext:
     if twiddle_factors is not None:
+        import hashlib
+
         tw = np.ascontiguousarray(np.asarray(twiddle_factors, dtype=np.uint64))
-        tw_key = hash(tw.tobytes())
+        tw_key = hashlib.blake2b(tw.tobytes(), digest_size=16).digest()
+        _TWIDDLE_STASH.pop(tw_key, None)
         _TWIDDLE_STASH[tw_key] = tw
+        while len(_TWIDDLE_STASH) > _TWIDDLE_STASH_SLOTS:
+            _TWIDDLE_STASH.pop(next(iter(_TWIDDLE_STASH)))
     else:
         tw_key = None
     return _context_cached(

@@ -76,6 +76,14 @@ class KeySwitchTpuContext:
         interpret: bool = False,
     ):
         assert key_component_count == 2, "key_component_count must be 2"
+        # The engine count threads through rns_modulus_size in the reference
+        # (`host/src/fpga.cpp:1049-1068`); this implementation supports the
+        # shipped configurations, where rns == decomp + 1 (L decomp engines
+        # plus the special-modulus engine) — enforce rather than ignore it.
+        assert rns_modulus_size == decomp_modulus_size + 1, (
+            "rns_modulus_size must equal decomp_modulus_size + 1 "
+            f"(got rns={rns_modulus_size}, decomp={decomp_modulus_size})"
+        )
         self.n = n
         self.L = decomp_modulus_size
         self.K = key_modulus_size
@@ -243,27 +251,57 @@ class KeySwitchTpuContext:
             prec[:, :, j, :] = ((col << 64) // q).astype(np.uint64)
         return prec
 
+    # key-set cache size: the reference's keys_map_ caches every key set it
+    # ever sees (`host/src/fpga.cpp:1158-1165`); key+precon tensors are large
+    # (~22 MB at 16384_6_7_7_2) so this bounds device-memory growth while
+    # still keeping the common CKKS rotation pattern (a handful of Galois
+    # keys used round-robin) fully resident.
+    KEY_CACHE_SLOTS = 8
+
     def device_keys(self, k_switch_keys):
-        """Upload-once key + precon cache, keyed by the key buffers' identity
-        — the analog of the reference's pointer-keyed keys_map_
-        (`host/src/fpga.cpp:1158-1165`)."""
+        """Upload-once key + precon cache — the analog of the reference's
+        pointer-keyed keys_map_ (`host/src/fpga.cpp:1158-1165`), hardened:
+
+        * multi-entry LRU (alternating key sets stay resident);
+        * entries PIN the source arrays, so a CPython id can never be
+          recycled into a false hit while the entry lives;
+        * hits verify object identity (`is`) per key, and a sampled content
+          checksum guards against in-place mutation of a cached key buffer
+          (the one hazard pointer-keying cannot see)."""
         if not hasattr(self, "_key_cache"):
-            self._key_cache = {}
-        kid = tuple(id(k) for k in k_switch_keys)
-        hit = self._key_cache.get(kid)
-        if hit is None:
-            keys = np.stack(
-                [
-                    np.asarray(kv, dtype=np.uint64).reshape(
-                        self.comp, self.K, self.n
-                    )
-                    for kv in k_switch_keys
-                ]
+            from collections import OrderedDict
+
+            self._key_cache = OrderedDict()
+
+        def checksum(arrs):
+            # cheap content sample: first/last lane + a fixed stride through
+            # each buffer (full hashes would cost ~ms per call on 22 MB)
+            h = 0
+            for a in arrs:
+                flat = a.reshape(-1)
+                s = max(1, flat.size // 64)
+                h ^= hash((flat[::s].tobytes(), flat[-1].item()))
+            return h
+
+        src = [np.asarray(kv, dtype=np.uint64) for kv in k_switch_keys]
+        kid = tuple(id(a) for a in src)
+        entry = self._key_cache.get(kid)
+        if entry is not None:
+            pinned, csum, hit = entry
+            same = len(pinned) == len(src) and all(
+                p is s for p, s in zip(pinned, src)
             )
-            klo, khi = w.to_pair_np(keys)
-            plo, phi = w.to_pair_np(self.key_precons(keys))
-            hit = tuple(jnp.asarray(x) for x in (klo, khi, plo, phi))
-            self._key_cache = {kid: hit}  # single-slot like a fresh fence
+            if same and csum == checksum(src):
+                self._key_cache.move_to_end(kid)
+                return hit
+            del self._key_cache[kid]  # mutated or aliased: re-upload
+        keys = np.stack([a.reshape(self.comp, self.K, self.n) for a in src])
+        klo, khi = w.to_pair_np(keys)
+        plo, phi = w.to_pair_np(self.key_precons(keys))
+        hit = tuple(jnp.asarray(x) for x in (klo, khi, plo, phi))
+        self._key_cache[kid] = (src, checksum(src), hit)
+        while len(self._key_cache) > self.KEY_CACHE_SLOTS:
+            self._key_cache.popitem(last=False)
         return hit
 
     def prepare_msf(self, modswitch_factors):
@@ -281,7 +319,11 @@ class KeySwitchTpuContext:
             modswitch_factors,
         )[0]
 
-    def run_batch(self, results, t_targets, k_switch_keys, modswitch_factors):
+    def dispatch_batch(self, results, t_targets, k_switch_keys,
+                       modswitch_factors):
+        """Stage + dispatch without blocking; returns (lo, hi) device arrays
+        shaped (B, comp, L, n).  The scheduler demuxes the PREVIOUS batch
+        while this one computes (`host/src/fpga.cpp:1517-1545` analog)."""
         B = results.shape[0]
         n, L = self.n, self.L
         t = w.to_pair_np(np.asarray(t_targets, dtype=np.uint64).reshape(B, L, n))
@@ -290,9 +332,13 @@ class KeySwitchTpuContext:
         )
         klo, khi, plo, phi = self.device_keys(k_switch_keys)
         mlo, mhi = self.prepare_msf(modswitch_factors)
-        olo, ohi = self._fn(
-            t[0], t[1], klo, khi, plo, phi, r[0], r[1], mlo, mhi
+        return self._fn(t[0], t[1], klo, khi, plo, phi, r[0], r[1], mlo, mhi)
+
+    def run_batch(self, results, t_targets, k_switch_keys, modswitch_factors):
+        olo, ohi = self.dispatch_batch(
+            results, t_targets, k_switch_keys, modswitch_factors
         )
+        B = results.shape[0]
         return w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(B, -1)
 
 
@@ -304,7 +350,12 @@ def _context_cached(n, L, K, rns, comp, moduli, tw_key, tile_p, interpret):
     )
 
 
-_TWIDDLE_STASH: dict = {}
+# Side table carrying the (unhashable) twiddle buffer into the lru-cached
+# context factory, keyed by a strong content digest so distinct buffers can
+# never collide; bounded to the context LRU's size so stash entries die with
+# the contexts built from them.
+_TWIDDLE_STASH: "dict[bytes, np.ndarray]" = {}
+_TWIDDLE_STASH_SLOTS = 16
 
 
 def get_context(
@@ -313,9 +364,14 @@ def get_context(
     interpret: bool = False,
 ) -> KeySwitchTpuContext:
     if twiddle_factors is not None:
+        import hashlib
+
         tw = np.ascontiguousarray(np.asarray(twiddle_factors, dtype=np.uint64))
-        tw_key = hash(tw.tobytes())
-        _TWIDDLE_STASH[tw_key] = tw
+        tw_key = hashlib.blake2b(tw.tobytes(), digest_size=16).digest()
+        _TWIDDLE_STASH.pop(tw_key, None)
+        _TWIDDLE_STASH[tw_key] = tw  # re-insert: newest at dict tail
+        while len(_TWIDDLE_STASH) > _TWIDDLE_STASH_SLOTS:
+            _TWIDDLE_STASH.pop(next(iter(_TWIDDLE_STASH)))
     else:
         tw_key = None
     return _context_cached(

@@ -38,6 +38,21 @@ class _Base:
         op = batch[0].op_type
         getattr(self, f"run_{op.lower()}")(batch)
 
+    def submit(self, batch: List["sched.WorkItem"]):
+        """Dispatch a batch without blocking on results.
+
+        Returns a finalize callable that demultiplexes results into the
+        caller buffers (or None if the op ran synchronously).  The worker
+        overlaps finalize of batch i-1 with device compute of batch i —
+        the reference's ping-pong read of the previous batch's output
+        (`host/src/fpga.cpp:1517-1545`)."""
+        op = batch[0].op_type
+        fn = getattr(self, f"submit_{op.lower()}", None)
+        if fn is None:
+            self.run_batch(batch)
+            return None
+        return fn(batch)
+
 
 class GoldenExecutor(_Base):
     """CPU golden-model backend (RUN_CHOICE=0)."""
@@ -96,14 +111,16 @@ class JaxExecutor(_Base):
     def _ctx(self):
         return self._jax.default_device(self.device)
 
-    def run_dyadic_multiply(self, batch):
+    def submit_dyadic_multiply(self, batch):
         with self._ctx():
-            # stack ops that share (n, n_moduli); fences guarantee homogeneity.
-            # The traced-modulus path reproduces the reference MultMod's exact
-            # input domain (its final Barrett step tolerates raw operands well
+            # stack ops that share (n, n_moduli, moduli); fences guarantee
+            # homogeneity.  Both tiers reproduce the reference MultMod's exact
+            # input domain (the final Barrett step tolerates raw operands well
             # beyond 4q whenever the 128-bit product < 2^(len+64), a property
-            # the reference's ramp tests rely on); the static-moduli
-            # specialization (dyadic_multiply_static) requires inputs < 4q.
+            # the reference's ramp tests rely on): the accelerated tier is the
+            # fused Pallas kernel with the moduli folded in as constants
+            # (ops/dyadic_pallas.py), the emulation tier the traced-modulus
+            # XLA program.
             n = batch[0].args["n"]
             M = batch[0].args["n_moduli"]
             op1 = np.stack(
@@ -112,14 +129,40 @@ class JaxExecutor(_Base):
             op2 = np.stack(
                 [np.asarray(i.args["operand2"], dtype=np.uint64).reshape(2, M, n) for i in batch]
             )
-            moduli = np.stack(
-                [np.asarray(i.args["moduli"], dtype=np.uint64)[:M] for i in batch]
-            )
-            out = dyadic_jax.dyadic_multiply_batched(op1, op2, moduli)
+            if self.accelerated and n % 128 == 0:
+                from ..ops import dyadic_pallas
+
+                mods = tuple(
+                    int(q)
+                    for q in np.asarray(batch[0].args["moduli"])[:M]
+                )
+                r = dyadic_pallas.runner(mods, n)
+                lo, hi = r.dispatch(op1, op2)
+                reshape3 = (len(batch), 3, M, n)
+            else:
+                moduli = np.stack(
+                    [np.asarray(i.args["moduli"], dtype=np.uint64)[:M] for i in batch]
+                )
+                lo, hi = dyadic_jax.dyadic_multiply_batched_dispatch(
+                    op1, op2, moduli
+                )
+                reshape3 = None
+
+        from ..ops import word64 as _w
+
+        def finalize():
+            out = _w.from_pair_np(np.asarray(lo), np.asarray(hi))
+            if reshape3 is not None:
+                out = out.reshape(reshape3)
             for b, item in enumerate(batch):
                 np.copyto(
                     item.args["results"], out[b].reshape(item.args["results"].shape)
                 )
+
+        return finalize
+
+    def run_dyadic_multiply(self, batch):
+        self.submit_dyadic_multiply(batch)()
 
     def run_ntt(self, batch):
         with self._ctx():
@@ -168,7 +211,7 @@ class JaxExecutor(_Base):
             for b, item in enumerate(batch):
                 np.copyto(item.args["operand"], out[b])
 
-    def run_keyswitch(self, batch):
+    def submit_keyswitch(self, batch):
         with self._ctx():
             a = batch[0].args
             if self.accelerated:
@@ -192,6 +235,20 @@ class JaxExecutor(_Base):
             rs = np.stack(
                 [np.asarray(i.args["result"], dtype=np.uint64).ravel() for i in batch]
             )
-            out = ctx.run_batch(rs, ts, a["k_switch_keys"], a["modswitch_factors"])
+            olo, ohi = ctx.dispatch_batch(
+                rs, ts, a["k_switch_keys"], a["modswitch_factors"]
+            )
+
+        from ..ops import word64 as _w
+
+        def finalize():
+            out = _w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(
+                len(batch), -1
+            )
             for b, item in enumerate(batch):
                 np.copyto(item.args["result"], out[b].reshape(item.args["result"].shape))
+
+        return finalize
+
+    def run_keyswitch(self, batch):
+        self.submit_keyswitch(batch)()

@@ -114,13 +114,20 @@ class Buffer:
 
 class Device:
     """One worker draining the shared buffer (reference Device + its
-    std::thread(Device::run), `fpga.cpp:581-1607,1670`)."""
+    std::thread(Device::run), `fpga.cpp:581-1607,1670`).
 
-    def __init__(self, index: int, buffer: Buffer, executor, cfg):
+    Batches are double-buffered like the reference's ping-pong KeySwitch
+    FPGAObjects (`fpga.cpp:701-705,1517-1545`): when the executor supports
+    split submit/finalize, batch i is dispatched to the device before batch
+    i-1's results are demultiplexed into caller buffers, so host-side demux
+    (np<->jnp copies) overlaps device compute instead of serializing it."""
+
+    def __init__(self, index: int, buffer: Buffer, executor, cfg, notify=None):
         self.index = index
         self.buffer = buffer
         self.executor = executor
         self.cfg = cfg
+        self.notify = notify or (lambda: None)
         self.batch_sizes = {
             DYADIC_MULTIPLY: cfg.batch_size_dyadic_multiply,
             NTT: cfg.batch_size_ntt,
@@ -132,32 +139,60 @@ class Device:
         )
         self.thread.start()
 
+    def _finalize(self, pending) -> None:
+        batch, fin, t0 = pending
+        if fin is not None:
+            try:
+                fin()
+            except Exception as exc:  # surface errors on completion
+                for item in batch:
+                    item.args["error"] = exc
+        for item in batch:
+            item.ready = True
+        self.notify()
+        if self.cfg.debug:
+            dt = (time.perf_counter() - t0) * 1e6
+            print(
+                f"[hexl-tpu dev{self.index}] {batch[0].op_type} batch "
+                f"{len(batch)}: {dt:.1f} us ({dt/len(batch):.1f} us/op)"
+            )
+
     def _run(self) -> None:
+        pending = None  # (batch, finalize_fn, t0) awaiting demux
         while True:
             try:
                 batch = self.buffer.pop_batch(self.batch_sizes)
             except Exception:
                 break
             if not batch:
+                if pending is not None:
+                    self._finalize(pending)
+                    pending = None
                 # drain fully before exiting on release(): a waiter inside
-                # completed() must never be left spinning on an un-run item
+                # completed() must never be left blocked on an un-run item
                 if self.buffer.closed and len(self.buffer) == 0:
                     break
                 continue
             t0 = time.perf_counter()
+            fin = None
             try:
-                self.executor.run_batch(batch)
+                submit = getattr(self.executor, "submit", None)
+                if submit is not None:
+                    fin = submit(batch)  # async dispatch; demux deferred
+                else:
+                    self.executor.run_batch(batch)
             except Exception as exc:  # surface errors on completion
                 for item in batch:
                     item.args["error"] = exc
-            for item in batch:
-                item.ready = True
-            if self.cfg.debug:
-                dt = (time.perf_counter() - t0) * 1e6
-                print(
-                    f"[hexl-tpu dev{self.index}] {batch[0].op_type} batch "
-                    f"{len(batch)}: {dt:.1f} us ({dt/len(batch):.1f} us/op)"
-                )
+            new_pending = (batch, fin, t0)
+            if pending is not None:
+                self._finalize(pending)
+            if len(self.buffer) > 0:
+                pending = new_pending  # overlap demux with the next batch
+            else:
+                self._finalize(new_pending)  # nothing queued: don't hold
+        if pending is not None:  # pragma: no cover - defensive flush
+            self._finalize(pending)
 
 
 class DevicePool:
@@ -172,14 +207,20 @@ class DevicePool:
         factory = executor_factory or (
             lambda i: executors.make_executor(self.cfg.run_choice, i)
         )
-        self.devices = [
-            Device(i, self.buffer, factory(i), self.cfg) for i in range(self.cfg.num_dev)
-        ]
         # per-op bookkeeping for worksize/Completed semantics
         self._lock = threading.Lock()
+        self._done = threading.Condition(self._lock)
         self._worksize = {t: 1 for t in _OP_TYPES}
         self._outstanding: Dict[str, List[WorkItem]] = {t: [] for t in _OP_TYPES}
         self._last_fence_key: Dict[str, Optional[Tuple]] = {t: None for t in _OP_TYPES}
+        self.devices = [
+            Device(i, self.buffer, factory(i), self.cfg, notify=self._notify_done)
+            for i in range(self.cfg.num_dev)
+        ]
+
+    def _notify_done(self) -> None:
+        with self._done:
+            self._done.notify_all()
 
     # -- worksize protocol ---------------------------------------------------
 
@@ -207,17 +248,16 @@ class DevicePool:
 
     def completed(self, op_type: str) -> bool:
         """Block until all outstanding ops of this type are done; reset
-        worksize to 1 (`fpga_int.cpp:209-232`)."""
-        while True:
-            with self._lock:
-                items = list(self._outstanding[op_type])
-            if all(i.ready for i in items):
-                break
-            time.sleep(0)
-        with self._lock:
-            self._outstanding[op_type] = [
-                i for i in self._outstanding[op_type] if not i.ready
-            ]
+        worksize to 1 (`fpga_int.cpp:209-232`).
+
+        The reference busy-spins here (`fpga_int.cpp:484-507`); on a host
+        that also feeds XLA, a worker-signaled condition variable frees the
+        core (the timeout is a safety net, not a poll interval)."""
+        with self._done:
+            while not all(i.ready for i in self._outstanding[op_type]):
+                self._done.wait(timeout=0.1)
+            items = list(self._outstanding[op_type])
+            self._outstanding[op_type] = []
             self._worksize[op_type] = 1
             self._last_fence_key[op_type] = None
         for i in items:

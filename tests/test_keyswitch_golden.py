@@ -35,7 +35,9 @@ def center(x, Q):
     return x - Q if x > Q // 2 else x
 
 
-@pytest.mark.parametrize("n,L,K", [(32, 2, 3), (64, 3, 4)])
+# (64, 5, 7) is the 5_7_6_2 shape of the reference's second recorded-vector
+# config (`tests/test_keyswitch.cpp:148-191`): K-1 > L, rns = L+1 = 6.
+@pytest.mark.parametrize("n,L,K", [(32, 2, 3), (64, 3, 4), (64, 5, 7)])
 def test_keyswitch_is_rlwe_keyswitch(n, L, K):
     vec = vectors.make_keyswitch_vector(
         n, L, K, seed=42, modulus_bits=40, nonzero_input=False
@@ -132,6 +134,19 @@ def test_keyswitch_json_roundtrip(tmp_path):
         back.twiddle_factors,
     )
     np.testing.assert_array_equal(got, back.expected_output)
+
+
+def test_keyswitch_rejects_bad_rns():
+    """rns != decomp+1 must be rejected, not silently ignored
+    (`host/src/fpga.cpp:1049-1068` threads rns through the engine count)."""
+    n, L, K = 32, 2, 3
+    vec = vectors.make_keyswitch_vector(n, L, K, seed=13)
+    with pytest.raises(AssertionError):
+        golden.keyswitch(
+            np.zeros(2 * L * n, dtype=np.uint64),
+            vec.t_target_iter_ptr, n, L, K, L + 2, 2,
+            vec.moduli, vec.key_vectors, vec.modswitch_factors, None,
+        )
 
 
 def test_keyswitch_computed_vs_caller_twiddles():

@@ -46,3 +46,45 @@ def test_device_key_cache_reuses_upload(vec):
     k1 = ctx.device_keys(vec.key_vectors)
     k2 = ctx.device_keys(vec.key_vectors)
     assert k1[0] is k2[0] and k1[1] is k2[1]
+
+
+def test_device_key_cache_alternating_sets(vec):
+    """The multi-entry cache keeps BOTH key sets resident — the CKKS rotation
+    pattern (alternating Galois keys) triggers zero re-uploads after warmup
+    (reference keys_map_ caches all sets, `host/src/fpga.cpp:1158-1165`)."""
+    vec2 = vectors.make_keyswitch_vector(1024, 2, 3, seed=77, modulus_bits=45)
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 3, 3, 2, vec.moduli, None, tile_p=2, interpret=True,
+    )
+    a1 = ctx.device_keys(vec.key_vectors)
+    b1 = ctx.device_keys(vec2.key_vectors)
+    for _ in range(3):
+        a2 = ctx.device_keys(vec.key_vectors)
+        b2 = ctx.device_keys(vec2.key_vectors)
+        assert a2[0] is a1[0] and b2[0] is b1[0]  # both sets stay cached
+
+
+def test_device_key_cache_detects_mutation(vec):
+    """In-place mutation of a cached key buffer must re-upload, not serve the
+    stale tensors (the hazard class of the reference's pointer keying)."""
+    keys = [np.array(k, dtype=np.uint64) for k in vec.key_vectors]
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 3, 3, 2, vec.moduli, None, tile_p=2, interpret=True,
+    )
+    k1 = ctx.device_keys(keys)
+    keys[0][:] = (keys[0] + np.uint64(1)) % np.uint64(vec.moduli[0])
+    k2 = ctx.device_keys(keys)
+    assert k1[0] is not k2[0]
+    # and the refreshed upload reflects the new contents
+    np.testing.assert_array_equal(
+        np.asarray(k2[0]).ravel()[: 8],
+        (keys[0].reshape(2, 3, 1024).astype(np.uint64)
+         & np.uint64(0xFFFFFFFF)).astype(np.uint32).ravel()[: 8],
+    )
+
+
+def test_rns_must_be_decomp_plus_one(vec):
+    with pytest.raises(AssertionError):
+        keyswitch_tpu.KeySwitchTpuContext(
+            1024, 2, 3, 4, 2, vec.moduli, None, tile_p=2, interpret=True,
+        )
