@@ -1,0 +1,169 @@
+"""Fused Pallas kernel for DyadicMultiply — the production tier.
+
+The reference dedicates a 400 MHz 5-kernel dataflow pipeline to this op
+(`device/dyadic_multiply.cpp:61-342`; the MAC core at `:195-228`).  On TPU
+the op is HBM-bound: per (modulus, coefficient) it moves 4 u64 in + 3 u64
+out = 56 bytes and computes four modular products — so the win is keeping
+all three output polynomials' math inside ONE kernel pass over one tile of
+inputs (one HBM read, one write, zero intermediate traffic).
+
+The modulus set is static per kernel specialization (the runtime's fence
+semantics already batch ops by moduli vector), so the per-modulus loop is
+fully unrolled with the reference MultMod recipe specialized per q:
+    len = floor(log2 q) - 1, barr = floor(2^(len+64) / q)
+    c1 = (x*y) >> len;  c3 = mulhi64(c1, barr);  c4 = lo64(x*y) - c3*q
+    out = c4 (one conditional subtract)
+— identical math to `device/mod_ops.hpp:31-84` (operands pre-reduced from
+[0,4q) with two conditional subtracts; larger raw operands remain exact
+whenever the 128-bit product stays under 2^(len+64), the property the
+reference's ramp-stimulus tests rely on), with the shift/Barrett constants
+folded into the compiled program.
+
+Layout: (B, 2|3, M, n) u64 as u32-pair planes, viewed (B, C, M, n/128, 128)
+so each per-modulus slab is a well-tiled (rows, 128) block; the grid walks
+(batch, row-chunks) and Mosaic double-buffers the HBM streams.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import word64 as w
+from ..utils.retry import call_with_retry
+
+
+def _reduce_4q(x, q: int):
+    """Two conditional subtracts: [0, 4q) -> [0, q); larger raw values are
+    merely shrunk by 3q (the reference MultMod's own pre-step)."""
+    return w.cond_sub64(w.cond_sub64(x, 2 * q), q)
+
+
+def _mul_mod_core(x, y, q: int):
+    """Reference MultMod body on pre-reduced operands (module docstring)."""
+    length = int(q).bit_length() - 2
+    barr = ((1 << (length + 64)) // q) & ((1 << 64) - 1)
+    p0, p1, p2, p3 = w.mul64_full(x, y)
+    c1 = w._shift128_right_static(p0, p1, p2, p3, length)
+    c3 = w.mulhi64(c1, w.const_pair(barr))
+    c4 = w.sub64((p0, p1), w.mullo64(c3, q))
+    return w.cond_sub64(c4, q)
+
+
+def _mul_mod_ref(x, y, q: int):
+    """Reference MultMod with static modulus (see module docstring)."""
+    return _mul_mod_core(_reduce_4q(x, q), _reduce_4q(y, q), q)
+
+
+def _kernel(moduli):
+    M = len(moduli)
+
+    def kernel(l1, h1, l2, h2, olo, ohi):
+        for m in range(M):
+            q = moduli[m]
+            x0 = _reduce_4q((l1[0, 0, m], h1[0, 0, m]), q)
+            x1 = _reduce_4q((l1[0, 1, m], h1[0, 1, m]), q)
+            y0 = _reduce_4q((l2[0, 0, m], h2[0, 0, m]), q)
+            y1 = _reduce_4q((l2[0, 1, m], h2[0, 1, m]), q)
+            out0 = _mul_mod_core(x0, y0, q)
+            out2 = _mul_mod_core(x1, y1, q)
+            # modular Karatsuba for the cross term: x0y1 + x1y0 =
+            # (x0+x1)(y0+y1) - x0y0 - x1y1 — one modular multiply instead of
+            # two (the VPU multiply chain dominates; mod-q equality is exact
+            # since every factor's MultMod is exact in its domain).
+            s = _reduce_4q(w.add64(x0, x1), q)
+            t = _reduce_4q(w.add64(y0, y1), q)
+            p = _mul_mod_core(s, t, q)
+            out1 = w.sub_mod(w.sub_mod(p, out0, q), out2, q)
+            for k, (olo_k, ohi_k) in enumerate((out0, out1, out2)):
+                olo[0, k, m] = olo_k
+                ohi[0, k, m] = ohi_k
+
+    return kernel
+
+
+class DyadicRunner:
+    """Compiled dyadic-multiply for one (moduli, n) specialization."""
+
+    def __init__(self, moduli, n: int, tile_rows: int = 32,
+                 interpret: bool = False):
+        assert n % 128 == 0, "n must be a multiple of 128 (VPU lanes)"
+        self.moduli = tuple(int(q) for q in moduli)
+        self.n = n
+        self.M = len(self.moduli)
+        rows = n // 128
+        tr = min(tile_rows, rows)
+        while rows % tr:
+            tr -= 1
+        self.tr = tr
+        M = self.M
+
+        in_spec = pl.BlockSpec(
+            (1, 2, M, tr, 128), lambda b, r: (b, 0, 0, r, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (1, 3, M, tr, 128), lambda b, r: (b, 0, 0, r, 0),
+            memory_space=pltpu.VMEM,
+        )
+        kernel = _kernel(self.moduli)
+
+        def call(l1, h1, l2, h2):
+            B = l1.shape[0]
+            return pl.pallas_call(
+                kernel,
+                grid=(B, rows // tr),
+                in_specs=[in_spec] * 4,
+                out_specs=[out_spec, out_spec],
+                out_shape=[
+                    jax.ShapeDtypeStruct((B, 3, M, rows, 128), jnp.uint32),
+                    jax.ShapeDtypeStruct((B, 3, M, rows, 128), jnp.uint32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel"),
+                ),
+                interpret=interpret,
+            )(l1, h1, l2, h2)
+
+        self.device_call = jax.jit(call)
+
+    def _stage(self, op):
+        B = op.shape[0]
+        lo, hi = w.to_pair_np(np.asarray(op, dtype=np.uint64))
+        shape = (B, 2, self.M, self.n // 128, 128)
+        return jnp.asarray(lo.reshape(shape)), jnp.asarray(hi.reshape(shape))
+
+    def _unstage(self, out):
+        olo, ohi = out
+        B = olo.shape[0]
+        return w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(
+            B, 3, self.M, self.n
+        )
+
+    def first_run(self, op1, op2):
+        """Stage + run once (compiles); returns (numpy out, device args)."""
+        dev_args = self._stage(op1) + self._stage(op2)
+        out = self.device_call(*dev_args)
+        return self._unstage(out), dev_args
+
+    def dispatch(self, op1, op2):
+        """Stage + dispatch without blocking; returns (lo, hi) device arrays
+        shaped (B, 3, M, n/128, 128)."""
+        dev_args = self._stage(op1) + self._stage(op2)
+        return call_with_retry(self.device_call, *dev_args)
+
+    def run(self, op1, op2) -> np.ndarray:
+        """op1/op2: (B, 2, M, n) u64 -> (B, 3, M, n) u64."""
+        return self._unstage(self.dispatch(op1, op2))
+
+
+@functools.lru_cache(maxsize=64)
+def runner(moduli: tuple, n: int, tile_rows: int = 32,
+           interpret: bool = False) -> DyadicRunner:
+    return DyadicRunner(moduli, n, tile_rows, interpret)

@@ -287,6 +287,16 @@ def inv_ntt_fn(n: int, q: int, tile_b: int = DEFAULT_TILE_B, interpret: bool = F
     return jax.jit(lambda lo, hi: tuple(call(lo, hi, *tables)))
 
 
+def raw_fwd_call(n: int, q: int, tile_b: int = DEFAULT_TILE_B,
+                 interpret: bool = False):
+    """Unjitted forward callable for composition inside a larger jit."""
+    assert n >= MIN_N and n % LANES == 0
+    plan = fwd_plan(n, q)
+    tables = tuple(jnp.asarray(t) for t in _pos_tables(plan))
+    call = _make_call(_fwd_kernel(n, q, tile_b), n, tile_b, interpret)
+    return lambda lo, hi: tuple(call(lo, hi, *tables))
+
+
 # numpy convenience wrappers ---------------------------------------------------
 
 

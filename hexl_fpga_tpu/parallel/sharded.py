@@ -344,6 +344,125 @@ def dist_inv_ntt(mesh: Mesh, axis: str, n: int, q: int):
     return jax.jit(lambda lo, hi: fn(lo, hi, *tabs))
 
 
+def dist_fwd_ntt_mxu(mesh: Mesh, axis: str, n: int, q: int):
+    """MXU-tier coefficient-sharded forward NTT: the four-step formulation
+    (ops/ntt_mxu.py) distributed with ONE reduce_scatter.
+
+    Decomposition n = n1*n2 (n2 = 128 lanes); the input shard of shard p is
+    the j1-row block of the (n1, n2) view, so:
+      * stage 1 (contraction over j1) is computed as a LOCAL int8-limb
+        matmul against this shard's row slice of the G1 limb-stack —
+        partial sums over the shard's rows;
+      * the per-shard canonical partials C_p (each < q) are summed across
+        shards and simultaneously scattered over the OUTPUT rows m1 with
+        `psum_scatter` — carried as four 16-bit planes so the cross-shard
+        integer sums stay exact in int32 (sum < P * q < 2^55 afterwards);
+      * the twiddle multiply (Harvey lazy: exact for ANY u64 representative)
+        and stage 2 (contraction over j2) are fully local.
+    Output is coefficient-sharded in natural m-major order — the same
+    placement as the input, so transforms chain without resharding.
+
+    Comm volume: one reduce_scatter of 16 bytes/coefficient — the direct
+    analog of the reference's single cross-engine broadcast point
+    (`intt1_forward.hpp:8`), on ICI instead of FIFOs.
+    """
+    from ..ops import ntt_mxu
+    from ..ops import ntt_mxu_pallas as MP
+
+    Pn = mesh.shape[axis]
+    n1 = n // 128
+    n2 = 128
+    assert n1 % Pn == 0, "n/128 must divide by the shard count"
+    r1 = n1 // Pn
+    plan = ntt_mxu.make_plan(n, q, n1)
+    c64, q_barr = int(plan["c64"]), int(plan["q_barr"])
+    nl = plan["nlimb"]
+
+    # per-shard stage-1 matrices: this shard's j1 rows of the full limb
+    # stack (rows t*n1 + j for each data-limb index t), with the int8
+    # zero-point column correction recomputed over the shard's rows only
+    gbig, _ = plan["f1"]  # (s, nl*n1, n1) int8 full stack
+    g_sh, c_sh = [], []
+    for p in range(Pn):
+        idx = np.concatenate(
+            [t * n1 + np.arange(p * r1, (p + 1) * r1) for t in range(nl)]
+        )
+        g = gbig[:, idx, :]
+        g_sh.append(g)
+        c_sh.append(128 * g.sum(axis=1, dtype=np.int64).astype(np.int32))
+    g_sh = np.stack(g_sh)  # (P, s, nl*r1, n1)
+    c_sh = np.stack(c_sh)  # (P, s, n1)
+    (uw_lo, uw_hi), (up_lo, up_hi) = plan["f1_u"]  # (n1, n2) pairs
+    g2, c2 = plan["f2"]
+
+    def local(lo, hi, g_p, c_p, uwl, uwh, upl, uph, g2r, c2r):
+        B = lo.shape[0]
+        g_p, c_p = g_p[0], c_p[0]          # strip the sharded leading dim
+        # (B, r1*n2) -> (r1, B*n2): stage-1 contraction axis leading
+        lo1 = lo.reshape(B, r1, n2).transpose(1, 0, 2).reshape(r1, B * n2)
+        hi1 = hi.reshape(B, r1, n2).transpose(1, 0, 2).reshape(r1, B * n2)
+        a, rowsum = MP._limbs_axis0(lo1, hi1, nl)
+        S_list = []
+        for s in range(nl):
+            dot = jax.lax.dot_general(
+                g_p[s], a,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            S_list.append(dot + c_p[s][:, None] + 128 * rowsum)
+        vv = MP._assemble_fold(S_list, c64)
+        clo, chi = MP._barrett_canonical(vv, q, q_barr)  # partial C_p < q
+        # exact cross-shard sum + scatter over m1: four 16-bit planes
+        planes = [
+            (clo & 0xFFFF).astype(jnp.int32),
+            (clo >> 16).astype(jnp.int32),
+            (chi & 0xFFFF).astype(jnp.int32),
+            (chi >> 16).astype(jnp.int32),
+        ]
+        planes = [
+            jax.lax.psum_scatter(pl, axis, scatter_dimension=0, tiled=True)
+            for pl in planes
+        ]  # each (r1, B*n2), values < P * 2^16
+        p0, p1, p2, p3 = [pl.astype(jnp.uint32) for pl in planes]
+        # value = p0 + p1<<16 + p2<<32 + p3<<48  (< P*q < 2^55: p3 < 2^23)
+        v = w.add64((p0, jnp.zeros_like(p0)), (p1 << 16, p1 >> 16))
+        v = w.add64(v, (jnp.zeros_like(p2), p2 + (p3 << 16)))
+        # Harvey lazy twiddle by U (rows m1-local): exact for any u64 rep
+        v3 = (v[0].reshape(r1, B, n2), v[1].reshape(r1, B, n2))
+        wt = (uwl[:, None, :], uwh[:, None, :], upl[:, None, :], uph[:, None, :])
+        tlo, thi = MP._lazy_twiddle(v3, wt, q)  # [0, 2q)
+        # stage 2: local right matmul over j2 on ((m1, b), j2)
+        olo, ohi = MP._stage_right_inkernel(
+            tlo.reshape(r1 * B, n2), thi.reshape(r1 * B, n2),
+            g2r, c2r, q, c64, q_barr,
+        )
+        out_lo = olo.reshape(r1, B, n2).transpose(1, 0, 2).reshape(B, r1 * n2)
+        out_hi = ohi.reshape(r1, B, n2).transpose(1, 0, 2).reshape(B, r1 * n2)
+        return out_lo, out_hi
+
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(
+            P(None, axis), P(None, axis),
+            P(axis, None, None, None), P(axis, None, None),
+            P(axis, None), P(axis, None), P(axis, None), P(axis, None),
+            P(None, None, None), P(None, None),
+        ),
+        out_specs=(P(None, axis), P(None, axis)),
+    )
+    try:
+        fn = shard_map(local, check_vma=False, **kwargs)
+    except TypeError:
+        fn = shard_map(local, check_rep=False, **kwargs)
+    tabs = (
+        jnp.asarray(g_sh), jnp.asarray(c_sh),
+        jnp.asarray(uw_lo), jnp.asarray(uw_hi),
+        jnp.asarray(up_lo), jnp.asarray(up_hi),
+        jnp.asarray(g2), jnp.asarray(c2),
+    )
+    return jax.jit(lambda lo, hi: fn(lo, hi, *tabs))
+
+
 # ---------------------------------------------------------------------------
 # limb-sharded keyswitch ('mp', optionally x 'dp')
 # ---------------------------------------------------------------------------
@@ -365,7 +484,8 @@ class ShardedKeySwitch:
 
     def __init__(self, mesh: Mesh, limb_axis: str, batch_axis: str | None,
                  n: int, decomp_modulus_size: int, key_modulus_size: int,
-                 moduli: Sequence[int]):
+                 moduli: Sequence[int], engine_impl: str = "xla",
+                 tile_p: int = 2, interpret: bool | None = None):
         self.mesh = mesh
         self.limb_axis = limb_axis
         self.batch_axis = batch_axis
@@ -380,11 +500,58 @@ class ShardedKeySwitch:
             engines.append(-1)  # padding slot (no-op)
         self.engines = engines
         self.per_shard = len(engines) // self.P
-        self.tabs = [ntt_jax.device_tables(n, q) for q in self.moduli]
         self.q_barr = [nt.barrett_factor(1, 64, q) for q in self.moduli]
         self.qk = self.moduli[self.K - 1]
         self.qk_half = self.qk >> 1
+        # engine transforms: 'mxu' = the fused four-step Pallas kernels (the
+        # single-chip production tier, composed here with collectives —
+        # VERDICT r1 gap); 'xla' = the butterfly cores (any n, incl. < 1024)
+        assert engine_impl in ("xla", "mxu")
+        if engine_impl == "mxu" and n < 1024:
+            engine_impl = "xla"  # MXU kernel needs n >= 1024
+        self.engine_impl = engine_impl
+        if engine_impl == "mxu":
+            from ..ops import ntt_mxu_pallas
+
+            if interpret is None:
+                # Mosaic kernels need interpret mode off-TPU; decide from the
+                # MESH devices (the default backend may differ, e.g. a tiny
+                # virtual CPU mesh under a TPU-attached process)
+                interpret = np.asarray(mesh.devices).flat[0].platform == "cpu"
+            self.tile_p = tile_p
+            self._mxu_fwd = [
+                ntt_mxu_pallas.raw_fwd_call(n, q, tile_p, interpret=interpret)
+                for q in self.moduli
+            ]
+            self._mxu_inv = [
+                ntt_mxu_pallas.raw_inv_call(n, q, tile_p, interpret=interpret)
+                for q in self.moduli
+            ]
+            self.tabs = None
+        else:
+            self.tabs = [ntt_jax.device_tables(n, q) for q in self.moduli]
         self._fn = None
+
+    # transform dispatch: (pair, modulus index) -> pair, canonical output
+    def _fwd_t(self, x: Pair, j: int) -> Pair:
+        if self.engine_impl == "mxu":
+            return self._padded_call(self._mxu_fwd[j], x)
+        return ntt_jax.fwd_ntt_core(x, self.n, self.moduli[j], self.tabs[j])
+
+    def _inv_t(self, x: Pair, j: int) -> Pair:
+        if self.engine_impl == "mxu":
+            return self._padded_call(self._mxu_inv[j], x)
+        return ntt_jax.inv_ntt_core(x, self.n, self.moduli[j], self.tabs[j])
+
+    def _padded_call(self, call, x: Pair) -> Pair:
+        lo, hi = x
+        B = lo.shape[0]
+        pad = (-B) % self.tile_p
+        if pad:
+            lo = jnp.concatenate([lo, jnp.zeros((pad,) + lo.shape[1:], lo.dtype)])
+            hi = jnp.concatenate([hi, jnp.zeros((pad,) + hi.shape[1:], hi.dtype)])
+        olo, ohi = call(lo, hi)
+        return olo[:B], ohi[:B]
 
     def _local(self, t_lo, t_hi, keys_lo, keys_hi, res_lo, res_hi,
                msf_lo, msf_hi):
@@ -403,10 +570,7 @@ class ShardedKeySwitch:
 
         # INTT1 replicated on every shard (the pipe-broadcast point of
         # `intt1_forward.hpp:8`; 1/L of one engine's work).
-        coeff = [
-            ntt_jax.inv_ntt_core(tp(i), n, self.moduli[i], self.tabs[i])
-            for i in range(L)
-        ]
+        coeff = [self._inv_t(tp(i), i) for i in range(L)]
 
         def engine_acc(j):
             q = self.moduli[j]
@@ -416,7 +580,7 @@ class ShardedKeySwitch:
                     val = tp(i)
                 else:
                     red = w.barrett_reduce64(coeff[i], q, self.q_barr[j])
-                    val = ntt_jax.fwd_ntt_core(red, n, q, self.tabs[j])
+                    val = self._fwd_t(red, j)
                 for k in range(2):
                     key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
                     prod = w.mul_mod_static(val, key, q)
@@ -444,9 +608,7 @@ class ShardedKeySwitch:
                             els = []
                             ehs = []
                             for k in range(2):
-                                d = ntt_jax.inv_ntt_core(
-                                    acc[k], n, self.qk, self.tabs[K - 1]
-                                )
+                                d = self._inv_t(acc[k], K - 1)
                                 e = w.add_mod(d, self.qk_half, self.qk)
                                 els.append(e[0])
                                 ehs.append(e[1])
@@ -489,7 +651,7 @@ class ShardedKeySwitch:
                             f = w.barrett_reduce64(
                                 w.add64(e, fix), q, self.q_barr[j]
                             )
-                            g = ntt_jax.fwd_ntt_core(f, n, q, self.tabs[j])
+                            g = self._fwd_t(f, j)
                             acc = (alo[:, k, :], ahi[:, k, :])
                             t1 = w.reduce_mod_factor(
                                 w.add64(w.sub64(acc, g), 4 * q), q, 8

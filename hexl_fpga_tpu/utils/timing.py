@@ -1,0 +1,53 @@
+"""Device-honest throughput measurement.
+
+The tunneled TPU runtime used in this environment has a large fixed
+dispatch/sync cost per host round trip (~50 ms measured), and its
+`block_until_ready` can return before short dispatched work completes —
+naive timing loops therefore either wildly over- or under-report kernel
+throughput.  The remedy here:
+
+* run the op as a DEPENDENT CHAIN on the device (each iteration consumes
+  the previous iteration's output), inside one compiled `lax.fori_loop`
+  whose trip count is a runtime argument (the body compiles once);
+* time two different trip counts and report the SLOPE — the per-iteration
+  cost with the fixed per-call overhead differenced away;
+* force completion with a small host fetch from the final state.
+
+This mirrors production steady-state (ops back-to-back on device) rather
+than a single isolated dispatch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Tuple
+
+import numpy as np
+
+
+def chain_timer(step: Callable, state: Tuple, i1: int = 6, i2: int = 22,
+                reps: int = 4) -> float:
+    """Seconds per iteration of `step` (state -> state), overhead-free.
+
+    `step` must be traceable (it is compiled once inside a fori_loop) and
+    return arrays of the same shapes/dtypes as `state`."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(s, k):
+        return jax.lax.fori_loop(0, k, lambda i, ss: tuple(step(*ss)), s)
+
+    f = jax.jit(run)
+
+    def once(k):
+        t0 = time.time()
+        out = f(state, jnp.int32(k))
+        jax.block_until_ready(out)
+        _ = np.asarray(out[0].ravel()[:1])  # force a real host round trip
+        return time.time() - t0
+
+    once(i1)  # compile + warm
+    once(i2)
+    t1 = min(once(i1) for _ in range(reps))
+    t2 = min(once(i2) for _ in range(reps))
+    return max((t2 - t1) / (i2 - i1), 1e-9)

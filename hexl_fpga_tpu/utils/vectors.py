@@ -207,13 +207,26 @@ def save_json(vec: KeySwitchVector, path: str) -> None:
         "input": vec.input.tolist(),
         "expected_output": vec.expected_output.tolist(),
     }
-    with open(path, "w") as f:
-        json.dump(doc, f)
+    if path.endswith(".gz"):
+        import gzip
+
+        # mtime=0 for byte-stable archives (frozen fixtures are committed)
+        with gzip.GzipFile(path, "wb", mtime=0) as f:
+            f.write(json.dumps(doc).encode())
+    else:
+        with open(path, "w") as f:
+            json.dump(doc, f)
 
 
 def load_json(path: str) -> KeySwitchVector:
-    with open(path) as f:
-        js = json.load(f)
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rt") as f:
+            js = json.load(f)
+    else:
+        with open(path) as f:
+            js = json.load(f)
     n = js["coeff_count"]
     K = js["key_modulus_size"]
     has_tw = all(

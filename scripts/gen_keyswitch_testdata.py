@@ -22,23 +22,35 @@ from hexl_fpga_tpu.utils import vectors  # noqa: E402
 
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "testdata"
+    frozen = "--frozen" in sys.argv  # the committed tests/testdata set
     os.makedirs(outdir, exist_ok=True)
     # reference-shipped configs: {N}_6_7_7_2 and {N}_5_7_6_2 at N in
     # {16384, 8192}; small configs added for fast CI
-    configs = [
-        (1024, 2, 3),
-        (4096, 2, 3),
-        (8192, 5, 7),
-        (8192, 6, 7),
-        (16384, 5, 7),
-        (16384, 6, 7),
-    ]
-    for n, L, K in configs:
-        for seed in range(2):
+    if frozen:
+        # (n, L, K, seeds, gzip): small fixtures as plain JSON; the flagship
+        # 16384_6_7_7_2 compressed (its payload is ~19 MB of random residues)
+        configs = [
+            (1024, 2, 3, 2, False),
+            (2048, 3, 4, 1, False),
+            (1024, 5, 7, 1, False),
+            (16384, 6, 7, 1, True),
+        ]
+    else:
+        configs = [
+            (1024, 2, 3, 2, False),
+            (4096, 2, 3, 2, False),
+            (8192, 5, 7, 2, False),
+            (8192, 6, 7, 2, False),
+            (16384, 5, 7, 2, False),
+            (16384, 6, 7, 2, False),
+        ]
+    for n, L, K, seeds, gz in configs:
+        for seed in range(seeds):
             vec = vectors.make_keyswitch_vector(
                 n, L, K, seed=seed, modulus_bits=51
             )
-            path = os.path.join(outdir, f"{vec.config_name}_{seed}.json")
+            ext = "json.gz" if gz else "json"
+            path = os.path.join(outdir, f"{vec.config_name}_{seed}.{ext}")
             vectors.save_json(vec, path)
             print("wrote", path)
 

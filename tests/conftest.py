@@ -10,6 +10,8 @@ enable tests/test_tpu_hw.py — the on-hardware validation tier.
 
 import os
 
+import pytest
+
 _HW = os.environ.get("HEXL_TPU_HW_TESTS") == "1"
 
 if not _HW:
@@ -26,3 +28,38 @@ if not _HW:
     # jax may already be imported (site customization); the env var is then
     # ignored, so set the config knob too.
     jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: XLA CPU compiles of the big fused programs
+# dominate suite time on small machines (60s+ each on one core); cached
+# re-runs drop to ~1s per program.  Opt out with HEXL_TPU_NO_COMPILE_CACHE=1.
+if os.environ.get("HEXL_TPU_NO_COMPILE_CACHE") != "1":
+    _cache_dir = os.environ.get(
+        "HEXL_TPU_COMPILE_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:  # older jax: knob absent
+        pass
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: compile-heavy tier (big shapes / full sweeps); skipped "
+        "unless HEXL_TPU_HEAVY_TESTS=1 — the fast tier keeps a smaller "
+        "variant of every code path",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("HEXL_TPU_HEAVY_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="heavy tier: set HEXL_TPU_HEAVY_TESTS=1 to run"
+    )
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)

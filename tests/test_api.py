@@ -105,6 +105,7 @@ def test_intt_api(worksize):
         np.testing.assert_array_equal(o, e)
 
 
+@pytest.mark.heavy
 def test_keyswitch_api_batch():
     n, L, K = 32, 2, 3
     # n=32 is below the public API's minimum; use the context directly for

@@ -37,6 +37,7 @@ def test_encrypt_decrypt(ctx):
     assert np.max(np.abs(back - z)) < 1e-4
 
 
+@pytest.mark.heavy
 def test_square_relinearize_rescale(ctx):
     """Square + relinearize through DyadicMultiply + KeySwitch, then rescale —
     the bridge patch's exact code path for CKKS multiplication."""
@@ -75,6 +76,7 @@ def test_add_sub_plain_ops(ctx):
     assert rel < 1e-4
 
 
+@pytest.mark.heavy
 def test_depth2_circuit(ctx):
     """Depth-2 evaluation with rescaling at each level: z^2 * z — exercises
     level tracking, scale management, and keyswitching twice."""

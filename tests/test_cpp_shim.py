@@ -123,6 +123,7 @@ def test_keyswitch_vs_golden(rt, use_twiddles):
     np.testing.assert_array_equal(got, vec.expected_output)
 
 
+@pytest.mark.heavy
 def test_jax_backend_registration(rt):
     """The registered JAX backend handles batches and matches golden."""
     rt.register_jax_backend()

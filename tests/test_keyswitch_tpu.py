@@ -27,6 +27,7 @@ def test_keyswitch_tpu_with_caller_twiddles(vec):
     np.testing.assert_array_equal(got, vec.expected_output)
 
 
+@pytest.mark.heavy
 def test_keyswitch_tpu_computed_twiddles_and_batch(vec):
     ctx = keyswitch_tpu.KeySwitchTpuContext(
         1024, 2, 3, 3, 2, vec.moduli, None, tile_p=2, interpret=True,

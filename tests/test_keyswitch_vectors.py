@@ -2,9 +2,12 @@
 (`tests/test_keyswitch.cpp:148-191`): glob `$KEYSWITCH_DATA_DIR/
 {N}_{decomp}_{key}_{rns}_{kcomp}_*.json` and assert bit-exact output.
 
-Without KEYSWITCH_DATA_DIR set, a small vector set is generated on the fly
-(the reference's testdata.zip download is not available offline); point the
-env var at recorded vectors to reproduce the reference flow exactly."""
+By default the FROZEN vectors committed under tests/testdata/ are used
+(generated once by scripts/gen_keyswitch_testdata.py and committed, so a
+regression in the generator cannot silently move oracle and subject
+together — the reference's testdata.zip download is unavailable offline).
+Point KEYSWITCH_DATA_DIR at recorded vectors to reproduce the reference
+flow with other data."""
 
 import glob
 import os
@@ -15,18 +18,21 @@ import pytest
 from hexl_fpga_tpu.ops import golden
 from hexl_fpga_tpu.utils import vectors
 
+DEFAULT_DATA_DIR = os.path.join(os.path.dirname(__file__), "testdata")
+
 
 def _load_vectors(tmp_path_factory):
-    data_dir = os.environ.get("KEYSWITCH_DATA_DIR")
-    if data_dir:
-        pats = os.environ.get("N", "1024,4096").split(",")
-        files = []
-        for n in pats:
-            files += glob.glob(os.path.join(data_dir, f"{n}_*_*_*_2_*.json"))
-        if not files:
-            pytest.skip(f"no vectors matching in {data_dir}")
+    data_dir = os.environ.get("KEYSWITCH_DATA_DIR") or DEFAULT_DATA_DIR
+    pats = os.environ.get("N", "1024,2048").split(",")
+    files = []
+    for n in pats:
+        for ext in ("json", "json.gz"):
+            files += glob.glob(os.path.join(data_dir, f"{n}_*_*_*_2_*.{ext}"))
+    if files:
         return [vectors.load_json(f) for f in sorted(files)[:4]]
-    # generate a small set in the same schema
+    if os.environ.get("KEYSWITCH_DATA_DIR"):
+        pytest.skip(f"no vectors matching in {data_dir}")
+    # last resort: generate a small set in the same schema
     out = []
     for n, L, K in [(1024, 2, 3), (2048, 3, 4)]:
         for seed in range(2):
@@ -53,6 +59,7 @@ def test_golden_matches_vectors(vecs):
         np.testing.assert_array_equal(got, vec.expected_output)
 
 
+@pytest.mark.heavy
 def test_tpu_path_matches_vectors(vecs):
     from hexl_fpga_tpu.ops import keyswitch_tpu
 

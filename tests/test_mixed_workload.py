@@ -16,6 +16,7 @@ def runtime():
     yield
 
 
+@pytest.mark.heavy
 def test_interleaved_dyadic_and_keyswitch():
     n, L, K = 1024, 2, 3
     vec = vectors.make_keyswitch_vector(n, L, K, seed=21, modulus_bits=45)

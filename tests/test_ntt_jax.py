@@ -6,7 +6,9 @@ import pytest
 from hexl_fpga_tpu.ops import golden, nt, ntt_jax, twiddles
 
 
-@pytest.mark.parametrize("n", [16, 128, 1024, 4096])
+@pytest.mark.parametrize(
+    "n", [16, 128, 1024, pytest.param(4096, marks=pytest.mark.heavy)]
+)
 @pytest.mark.parametrize("bits", [20, 33, 52])
 def test_fwd_matches_golden(n, bits):
     q = nt.generate_primes(1, bits, n)[0]
@@ -17,7 +19,9 @@ def test_fwd_matches_golden(n, bits):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("n", [16, 128, 1024, 4096])
+@pytest.mark.parametrize(
+    "n", [16, 128, 1024, pytest.param(4096, marks=pytest.mark.heavy)]
+)
 @pytest.mark.parametrize("bits", [20, 33, 52])
 def test_inv_matches_golden(n, bits):
     q = nt.generate_primes(1, bits, n)[0]
@@ -28,6 +32,7 @@ def test_inv_matches_golden(n, bits):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.heavy
 def test_roundtrip_16384():
     n = 16384
     q = nt.generate_primes(1, 52, n)[0]

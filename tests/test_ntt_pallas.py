@@ -11,7 +11,9 @@ import pytest
 from hexl_fpga_tpu.ops import golden, nt, ntt_pallas
 
 
-@pytest.mark.parametrize("n", [1024, 2048])
+@pytest.mark.parametrize(
+    "n", [1024, pytest.param(2048, marks=pytest.mark.heavy)]
+)
 @pytest.mark.parametrize("bits", [20, 52])
 def test_fwd_matches_golden(n, bits):
     q = nt.generate_primes(1, bits, n)[0]
@@ -21,7 +23,9 @@ def test_fwd_matches_golden(n, bits):
     np.testing.assert_array_equal(got, golden.fwd_ntt(a, q))
 
 
-@pytest.mark.parametrize("n", [1024, 2048])
+@pytest.mark.parametrize(
+    "n", [1024, pytest.param(2048, marks=pytest.mark.heavy)]
+)
 @pytest.mark.parametrize("bits", [20, 52])
 def test_inv_matches_golden(n, bits):
     q = nt.generate_primes(1, bits, n)[0]

@@ -35,7 +35,9 @@ def test_dyadic_multiply_matches_golden_large_moduli(bits):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("n,L,K", [(32, 2, 3), (64, 3, 4)])
+@pytest.mark.parametrize(
+    "n,L,K", [(32, 2, 3), pytest.param(64, 3, 4, marks=pytest.mark.heavy)]
+)
 def test_keyswitch_matches_golden(n, L, K):
     vec = vectors.make_keyswitch_vector(n, L, K, seed=17, modulus_bits=45)
     got = keyswitch_jax.keyswitch(
@@ -73,6 +75,7 @@ def test_keyswitch_computed_twiddles_match():
     np.testing.assert_array_equal(got, vec.expected_output)
 
 
+@pytest.mark.heavy
 def test_keyswitch_batched():
     n, L, K = 32, 2, 3
     vec1 = vectors.make_keyswitch_vector(n, L, K, seed=31, modulus_bits=40)
@@ -109,6 +112,7 @@ def test_keyswitch_batched():
         np.testing.assert_array_equal(got[b], want)
 
 
+@pytest.mark.heavy
 def test_keyswitch_16384_config_shape():
     """Flagship config smoke test at reduced size: 4096_2_3_3_2."""
     n, L, K = 4096, 2, 3

@@ -30,7 +30,11 @@ def test_batch_sharded_fwd_ntt(devices):
     np.testing.assert_array_equal(out, golden.fwd_ntt(a, q))
 
 
-@pytest.mark.parametrize("n_shards", [2, 4, 8])
+@pytest.mark.parametrize(
+    "n_shards",
+    [2, pytest.param(4, marks=pytest.mark.heavy),
+     pytest.param(8, marks=pytest.mark.heavy)],
+)
 def test_dist_fwd_ntt(devices, n_shards):
     """Coefficient-sharded (sequence-parallel) NTT: bit-exact vs golden."""
     n, q = 2048, nt.generate_primes(1, 45, 2048)[0]
@@ -44,7 +48,11 @@ def test_dist_fwd_ntt(devices, n_shards):
     np.testing.assert_array_equal(out, golden.fwd_ntt(a, q))
 
 
-@pytest.mark.parametrize("n_shards", [2, 4, 8])
+@pytest.mark.parametrize(
+    "n_shards",
+    [2, pytest.param(4, marks=pytest.mark.heavy),
+     pytest.param(8, marks=pytest.mark.heavy)],
+)
 def test_dist_inv_ntt(devices, n_shards):
     """Coefficient-sharded inverse NTT: roundtrip + bit-exact vs golden."""
     n, q = 2048, nt.generate_primes(1, 45, 2048)[0]
@@ -60,7 +68,42 @@ def test_dist_inv_ntt(devices, n_shards):
     np.testing.assert_array_equal(out, golden.inv_ntt(y, q))
 
 
-@pytest.mark.parametrize("mp,dp", [(2, 1), (4, 2)])
+@pytest.mark.parametrize("n_shards", [2, pytest.param(8, marks=pytest.mark.heavy)])
+def test_dist_fwd_ntt_mxu(devices, n_shards):
+    """MXU-tier coefficient-sharded NTT (four-step + reduce_scatter of the
+    exact 16-bit partial planes): bit-exact vs golden."""
+    n, q = 1024, int(nt.generate_primes(1, 51, 1024)[0])
+    mesh = Mesh(np.array(devices[:n_shards]), ("sp",))
+    fn = sharded.dist_fwd_ntt_mxu(mesh, "sp", n, q)
+    rng = np.random.default_rng(10 + n_shards)
+    a = rng.integers(0, q, size=(3, n), dtype=np.uint64)
+    lo, hi = w.to_pair_np(a)
+    olo, ohi = fn(jnp.asarray(lo), jnp.asarray(hi))
+    out = w.from_pair_np(np.asarray(olo), np.asarray(ohi))
+    np.testing.assert_array_equal(out, golden.fwd_ntt(a, q))
+
+
+@pytest.mark.heavy
+def test_limb_sharded_keyswitch_mxu_engines(devices):
+    """ShardedKeySwitch with the fused-MXU Pallas engine transforms (the
+    single-chip production kernels composed with collectives)."""
+    n, L, K = 1024, 2, 3
+    vec = vectors.make_keyswitch_vector(n, L, K, seed=7, modulus_bits=45)
+    mesh = Mesh(np.array(devices[:2]), ("mp",))
+    ks = sharded.ShardedKeySwitch(
+        mesh, "mp", None, n, L, K, vec.moduli, engine_impl="mxu", tile_p=2
+    )
+    B = 2
+    ts = np.stack([vec.t_target_iter_ptr] * B)
+    rs = np.stack([vec.input] * B)
+    got = ks.run(rs, ts, vec.key_vectors, vec.modswitch_factors)
+    for b in range(B):
+        np.testing.assert_array_equal(got[b], vec.expected_output)
+
+
+@pytest.mark.parametrize(
+    "mp,dp", [(2, 1), pytest.param(4, 2, marks=pytest.mark.heavy)]
+)
 def test_limb_sharded_keyswitch(devices, mp, dp):
     n, L, K = 64, 3, 4
     vec = vectors.make_keyswitch_vector(n, L, K, seed=7, modulus_bits=40)
