@@ -6,7 +6,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from common import emit, log, time_fn  # noqa: E402
+from common import emit, log  # noqa: E402
 
 
 def main():
@@ -14,6 +14,7 @@ def main():
     import numpy as np
 
     from hexl_fpga_tpu.ops import golden, nt, ntt_mxu_pallas, word64 as w
+    from hexl_fpga_tpu.utils.timing import chain_timer
 
     n = int(os.environ.get("N", 16384))
     ws = int(os.environ.get("WORKSIZE", 4096))
@@ -30,7 +31,7 @@ def main():
     back = w.from_pair_np(np.asarray(out[0][:2]), np.asarray(out[1][:2]))
     np.testing.assert_array_equal(back, golden.inv_ntt(y[:2], q))
     log("bit-exact OK")
-    dt = time_fn(fn, lo, hi, iters=int(os.environ.get("ITERS", 20)))
+    dt = chain_timer(ntt_mxu_pallas.raw_inv_call(n, int(q), tp), (lo, hi))
     emit("inv_ntt_throughput", ws / dt, "INTT/s", n=n, worksize=ws,
          ms_per_batch=round(dt * 1e3, 3))
 

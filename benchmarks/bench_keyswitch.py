@@ -13,7 +13,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from common import emit, log, time_fn  # noqa: E402
+from common import emit, log  # noqa: E402
 
 
 def main():
@@ -53,14 +53,22 @@ def main():
          config=f"{n}_{L}_{K}_{L+1}_2", batch=B,
          ms_per_batch=round(dt * 1e3, 1))
 
-    # device-resident
+    # device-resident: dependent chain on the result accumulator (slope
+    # timing nets out the dispatch overhead; see utils/timing.py)
+    from hexl_fpga_tpu.utils.timing import chain_timer
+
     t = w.to_pair_np(ts.reshape(B, L, n))
     r = w.to_pair_np(rs.reshape(B, 2, L, n))
-    keys = list(ctx.device_keys(vec.key_vectors))
+    keys = [jnp.asarray(x) for x in ctx.device_keys(vec.key_vectors)]
     mlo, mhi = ctx.prepare_msf(vec.modswitch_factors)
-    args = [jnp.asarray(x) for x in (t[0], t[1])] + keys + [
-        jnp.asarray(x) for x in (r[0], r[1], mlo, mhi)]
-    dt = time_fn(ctx._fn, *args, iters=max(10, iters))
+    tlo, thi = jnp.asarray(t[0]), jnp.asarray(t[1])
+    mlo, mhi = jnp.asarray(mlo), jnp.asarray(mhi)
+
+    def step(rlo, rhi):
+        return ctx._build(tlo, thi, *keys, rlo, rhi, mlo, mhi)
+
+    dt = chain_timer(step, (jnp.asarray(r[0]), jnp.asarray(r[1])),
+                     i1=2, i2=8)
     emit("keyswitch_throughput_device", B / dt, "op/s",
          config=f"{n}_{L}_{K}_{L+1}_2", batch=B,
          ms_per_batch=round(dt * 1e3, 1))
