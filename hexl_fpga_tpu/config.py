@@ -52,6 +52,13 @@ class Config:
     kernel: str = field(
         default_factory=lambda: os.environ.get("FPGA_KERNEL", "DYADIC_MULTIPLY_KEYSWITCH")
     )
+    # HEXL_TPU_PROFILE=<dir>: capture a jax.profiler trace between
+    # acquire_FPGA_resources() and release_FPGA_resources() (the XLA-native
+    # analog of the reference's SYCL queue-profiling toggle,
+    # `host/src/fpga.cpp:617-622`); view with TensorBoard / xprof.
+    profile_dir: str = field(
+        default_factory=lambda: os.environ.get("HEXL_TPU_PROFILE", "")
+    )
 
 
 _config: Config | None = None

@@ -140,7 +140,8 @@ class Device:
         self.thread.start()
 
     def _finalize(self, pending) -> None:
-        batch, fin, t0 = pending
+        batch, fin, t0, t_submit = pending
+        t1 = time.perf_counter()
         if fin is not None:
             try:
                 fin()
@@ -151,11 +152,24 @@ class Device:
             item.ready = True
         self.notify()
         if self.cfg.debug:
-            dt = (time.perf_counter() - t0) * 1e6
-            print(
+            now = time.perf_counter()
+            dt = (now - t0) * 1e6
+            msg = (
                 f"[hexl-tpu dev{self.index}] {batch[0].op_type} batch "
                 f"{len(batch)}: {dt:.1f} us ({dt/len(batch):.1f} us/op)"
             )
+            if self.cfg.debug >= 2:
+                # staging/dispatch vs result-demux split — the analog of the
+                # reference's FPGA_DEBUG=2 I/O-staging vs API timing prints
+                # (`host/src/fpga.cpp:882-920,1303-1318`)
+                stage_us = (t_submit - t0) * 1e6
+                demux_us = (now - t1) * 1e6
+                msg += (
+                    f" [stage+dispatch {stage_us:.1f} us, "
+                    f"demux {demux_us:.1f} us, overlap-deferred "
+                    f"{(t1 - t_submit)*1e6:.1f} us]"
+                )
+            print(msg)
 
     def _run(self) -> None:
         pending = None  # (batch, finalize_fn, t0) awaiting demux
@@ -184,9 +198,10 @@ class Device:
             except Exception as exc:  # surface errors on completion
                 for item in batch:
                     item.args["error"] = exc
-            new_pending = (batch, fin, t0)
+            new_pending = (batch, fin, t0, time.perf_counter())
             if pending is not None:
                 self._finalize(pending)
+                pending = None
             if len(self.buffer) > 0:
                 pending = new_pending  # overlap demux with the next batch
             else:
@@ -274,6 +289,36 @@ class DevicePool:
 
 _pool: Optional[DevicePool] = None
 _pool_lock = threading.Lock()
+_profiling = False
+
+
+def _maybe_start_profiler(cfg) -> None:
+    """HEXL_TPU_PROFILE=<dir>: trace device activity between acquire and
+    release with jax.profiler (the XLA-native replacement for the
+    reference's SYCL queue-profiling property, `fpga.cpp:617-622`)."""
+    global _profiling
+    if not cfg.profile_dir or _profiling:
+        return
+    try:
+        import jax
+
+        jax.profiler.start_trace(cfg.profile_dir)
+        _profiling = True
+    except Exception as exc:  # pragma: no cover - best-effort tracing
+        print(f"[hexl-tpu] profiler start failed: {exc}")
+
+
+def _maybe_stop_profiler() -> None:
+    global _profiling
+    if not _profiling:
+        return
+    try:
+        import jax
+
+        jax.profiler.stop_trace()
+    except Exception as exc:  # pragma: no cover
+        print(f"[hexl-tpu] profiler stop failed: {exc}")
+    _profiling = False
 
 
 def acquire() -> DevicePool:
@@ -282,6 +327,7 @@ def acquire() -> DevicePool:
     with _pool_lock:
         if _pool is None:
             _pool = DevicePool()
+            _maybe_start_profiler(_pool.cfg)
         return _pool
 
 
@@ -291,6 +337,7 @@ def release() -> None:
         if _pool is not None:
             _pool.release()
             _pool = None
+            _maybe_stop_profiler()
 
 
 def pool() -> DevicePool:

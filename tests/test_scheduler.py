@@ -83,6 +83,37 @@ def test_small_bufsize_backpressure(monkeypatch):
     config_mod.reset_config()
 
 
+class _SplitExecutor(_CountingExecutor):
+    """Submit/finalize split executor: counts finalizations per batch."""
+
+    def __init__(self):
+        super().__init__()
+        self.finalized = []
+
+    def submit(self, batch):
+        def finalize():
+            self.run_batch(batch)
+            with self.lock:
+                self.finalized.append(tuple(id(i) for i in batch))
+
+        return finalize
+
+
+def test_each_batch_finalized_exactly_once(monkeypatch):
+    """The overlapped (ping-pong) demux path must finalize every batch once
+    — a stale `pending` reference must never be demuxed twice."""
+    ex = _SplitExecutor()
+    pool = _mk_pool(monkeypatch, ex, BATCH_SIZE_DYADIC_MULTIPLY=4)
+    try:
+        for _ in range(3):  # multiple waves incl. queue-went-idle boundaries
+            _enqueue_dyadic(pool, 10)
+        assert len(ex.finalized) == len(set(ex.finalized))
+        assert sum(len(b) for b in ex.finalized) == 30
+    finally:
+        pool.release()
+    config_mod.reset_config()
+
+
 def test_concurrent_producers(monkeypatch):
     ex = _CountingExecutor()
     pool = _mk_pool(monkeypatch, ex, NUM_DEV=2, BATCH_SIZE_DYADIC_MULTIPLY=4)
