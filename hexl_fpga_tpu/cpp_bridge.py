@@ -269,8 +269,15 @@ class NativeRuntime:
 
         Callbacks run on C++ worker threads (ctypes reacquires the GIL); they
         read the op structs, run the batched XLA computations, and write the
-        results back through the caller's pointers."""
+        results back through the caller's pointers.  On a real accelerator
+        the production tiers serve the ops (fused-Pallas dyadic multiply and
+        keyswitch, MXU NTT); the pure-XLA compositions remain the CPU/
+        emulation fallback."""
+        import jax
+
         from .ops import dyadic_jax, keyswitch_jax, ntt_jax
+
+        accelerated = jax.default_backend() not in ("cpu",)
 
         def _view(ptr, count):
             return np.ctypeslib.as_array(ptr, shape=(count,))
@@ -288,9 +295,16 @@ class NativeRuntime:
                     [_view(ops[i].operand2, 2 * M * n).reshape(2, M, n)
                      for i in range(count)]
                 )
-                out = dyadic_jax.dyadic_multiply_batched(
-                    op1, op2, np.broadcast_to(moduli, (count, M))
-                )
+                if accelerated and n % 128 == 0:
+                    from .ops import dyadic_pallas
+
+                    out = dyadic_pallas.runner(
+                        tuple(int(q) for q in moduli), int(n)
+                    ).run(op1, op2)
+                else:
+                    out = dyadic_jax.dyadic_multiply_batched(
+                        op1, op2, np.broadcast_to(moduli, (count, M))
+                    )
                 out = np.asarray(out).reshape(count, -1)
                 for i in range(count):
                     _view(ops[i].results, 3 * M * n)[:] = out[i]
@@ -309,10 +323,18 @@ class NativeRuntime:
                     if o.twiddle_factors
                     else None
                 )
-                kctx = keyswitch_jax.get_context(
-                    int(n), int(L), int(K), int(o.rns_modulus_size), int(comp),
-                    moduli, tw,
-                )
+                if accelerated:
+                    from .ops import keyswitch_tpu
+
+                    kctx = keyswitch_tpu.get_context(
+                        int(n), int(L), int(K), int(o.rns_modulus_size),
+                        int(comp), moduli, tw,
+                    )
+                else:
+                    kctx = keyswitch_jax.get_context(
+                        int(n), int(L), int(K), int(o.rns_modulus_size),
+                        int(comp), moduli, tw,
+                    )
                 keys = [
                     _view(o.k_switch_keys[i], comp * K * n).copy()
                     for i in range(L)
@@ -341,7 +363,19 @@ class NativeRuntime:
                 )
                 roots = _view(o.root_powers, n).copy()
                 precon = _view(o.precon_root_powers, n).copy()
-                if inverse:
+                if accelerated and n >= 1024:
+                    from .ops import nt as _nt, ntt_mxu_pallas
+
+                    if inverse:
+                        psi = _nt.inverse_mod(int(roots[1]), int(q))
+                        fn = ntt_mxu_pallas.inv_ntt_fn(int(n), int(q), psi=psi)
+                    else:
+                        psi = int(roots[n >> 1])
+                        fn = ntt_mxu_pallas.fwd_ntt_fn(int(n), int(q), psi=psi)
+                    out = ntt_mxu_pallas._run(
+                        fn, operands, int(q), ntt_mxu_pallas.DEFAULT_TILE_P
+                    )
+                elif inverse:
                     out = ntt_jax.inv_ntt_with_tables(
                         operands, int(q), roots, precon, int(o.inv_n),
                         int(o.inv_n_w),
