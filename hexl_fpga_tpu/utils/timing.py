@@ -34,6 +34,8 @@ def chain_timer(step: Callable, state: Tuple, i1: int = 6, i2: int = 22,
     import jax
     import jax.numpy as jnp
 
+    from .retry import call_with_retry
+
     def run(s, k):
         return jax.lax.fori_loop(0, k, lambda i, ss: tuple(step(*ss)), s)
 
@@ -46,8 +48,8 @@ def chain_timer(step: Callable, state: Tuple, i1: int = 6, i2: int = 22,
         _ = np.asarray(out[0].ravel()[:1])  # force a real host round trip
         return time.time() - t0
 
-    once(i1)  # compile + warm
-    once(i2)
+    call_with_retry(once, i1)  # compile + warm (retries transient remote
+    call_with_retry(once, i2)  # compile failures under the tunnel)
     t1 = min(once(i1) for _ in range(reps))
     t2 = min(once(i2) for _ in range(reps))
     return max((t2 - t1) / (i2 - i1), 1e-9)
