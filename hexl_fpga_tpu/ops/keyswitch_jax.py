@@ -136,9 +136,8 @@ class KeySwitchContext:
             acc[j] = acc_j
 
         # Special-modulus tail (`intt2_core.hpp`, `intt2_redu.hpp`, `ms.hpp`).
-        # Outputs collected per (k, i) and stacked once (an .at[].set into a
-        # preallocated buffer would materialize the whole output per update).
-        out_parts = [[None] * L for _ in range(self.comp)]
+        out_lo = jnp.zeros((B, self.comp, L, n), dtype=jnp.uint32)
+        out_hi = jnp.zeros((B, self.comp, L, n), dtype=jnp.uint32)
         for k in range(self.comp):
             d = ntt_jax.inv_ntt_core(acc[K - 1][k], n, self.qk, self.tabs[K - 1])
             e = w.add_mod(d, self.qk_half, self.qk)
@@ -153,15 +152,9 @@ class KeySwitchContext:
                 msf = (msf_lo[i], msf_hi[i])
                 delta = w.mul_mod_static(t1, msf, q)
                 r_in = (res_lo[:, k, i, :], res_hi[:, k, i, :])
-                out_parts[k][i] = w.cond_sub64(w.add64(r_in, delta), q)
-        out_lo = jnp.stack(
-            [jnp.stack([out_parts[k][i][0] for i in range(L)], axis=1)
-             for k in range(self.comp)], axis=1,
-        )
-        out_hi = jnp.stack(
-            [jnp.stack([out_parts[k][i][1] for i in range(L)], axis=1)
-             for k in range(self.comp)], axis=1,
-        )
+                r_out = w.cond_sub64(w.add64(r_in, delta), q)
+                out_lo = out_lo.at[:, k, i, :].set(r_out[0])
+                out_hi = out_hi.at[:, k, i, :].set(r_out[1])
         return out_lo, out_hi
 
     def prepare_keys(self, k_switch_keys) -> Tuple[np.ndarray, np.ndarray]:

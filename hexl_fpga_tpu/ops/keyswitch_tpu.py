@@ -181,10 +181,8 @@ class KeySwitchTpuContext:
         e = w.add_mod((dlo, dhi), qk_half, qk)  # (comp*B, n)
 
         # ---- per decomp modulus: engine NTTs + tail NTTs in ONE call ----
-        # outputs collected per (k, j) and stacked ONCE at the end: an
-        # .at[].set into a preallocated (B, comp, L, n) buffer between the
-        # Pallas calls costs a full-buffer materialization per update
-        out_parts = [[None] * L for _ in range(comp)]
+        out_lo = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
+        out_hi = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
         for j in range(L):
             q = moduli[j]
             fix = q - (qk_half % q)
@@ -227,15 +225,9 @@ class KeySwitchTpuContext:
                 msf = (msf_lo[j], msf_hi[j])
                 delta = w.mul_mod_static(t1, msf, q)
                 r_in = (res_lo[:, k, j, :], res_hi[:, k, j, :])
-                out_parts[k][j] = w.cond_sub64(w.add64(r_in, delta), q)
-        out_lo = jnp.stack(
-            [jnp.stack([out_parts[k][j][0] for j in range(L)], axis=1)
-             for k in range(comp)], axis=1,
-        )
-        out_hi = jnp.stack(
-            [jnp.stack([out_parts[k][j][1] for j in range(L)], axis=1)
-             for k in range(comp)], axis=1,
-        )
+                r_out = w.cond_sub64(w.add64(r_in, delta), q)
+                out_lo = out_lo.at[:, k, j, :].set(r_out[0])
+                out_hi = out_hi.at[:, k, j, :].set(r_out[1])
         return out_lo, out_hi
 
     # -- numpy wrappers (same surface as keyswitch_jax.KeySwitchContext) ----
