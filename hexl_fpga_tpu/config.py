@@ -13,6 +13,9 @@ read once at first use:
   NUM_DEV       number of devices to drain the shared queue (default 1).
   FPGA_DEBUG    1/2 = timing prints (host timers of `fpga.cpp:882-920`).
   FPGA_KERNEL   accepted for compatibility (kernel selection is automatic).
+  FPGA_BITSTREAM  accepted for compatibility (the reference's explicit
+                  kernel-.so path, `host/src/fpga.cpp:557-562`; compiled
+                  programs are managed by XLA here).
   COEFF_SIZE / MODULUS_SIZE    accepted for compatibility (buffer presizing
                                is unnecessary under XLA).
 """
@@ -51,6 +54,9 @@ class Config:
     debug: int = field(default_factory=lambda: _env_int("FPGA_DEBUG", 0, 0, 2))
     kernel: str = field(
         default_factory=lambda: os.environ.get("FPGA_KERNEL", "DYADIC_MULTIPLY_KEYSWITCH")
+    )
+    bitstream: str = field(
+        default_factory=lambda: os.environ.get("FPGA_BITSTREAM", "")
     )
     # HEXL_TPU_PROFILE=<dir>: capture a jax.profiler trace between
     # acquire_FPGA_resources() and release_FPGA_resources() (the XLA-native
