@@ -84,17 +84,25 @@ def test_small_bufsize_backpressure(monkeypatch):
 
 
 class _SplitExecutor(_CountingExecutor):
-    """Submit/finalize split executor: counts finalizations per batch."""
+    """Submit/finalize split executor: counts finalizations per submission.
+
+    Each submit() issues a unique token (CPython object ids recycle across
+    waves, so id-based fingerprints would report false duplicates)."""
 
     def __init__(self):
         super().__init__()
         self.finalized = []
+        self._next_token = 0
 
     def submit(self, batch):
+        with self.lock:
+            token = self._next_token
+            self._next_token += 1
+
         def finalize():
             self.run_batch(batch)
             with self.lock:
-                self.finalized.append(tuple(id(i) for i in batch))
+                self.finalized.append((token, len(batch)))
 
         return finalize
 
@@ -107,8 +115,9 @@ def test_each_batch_finalized_exactly_once(monkeypatch):
     try:
         for _ in range(3):  # multiple waves incl. queue-went-idle boundaries
             _enqueue_dyadic(pool, 10)
-        assert len(ex.finalized) == len(set(ex.finalized))
-        assert sum(len(b) for b in ex.finalized) == 30
+        tokens = [t for t, _ in ex.finalized]
+        assert len(tokens) == len(set(tokens))  # no batch demuxed twice
+        assert sum(sz for _, sz in ex.finalized) == 30  # none dropped
     finally:
         pool.release()
     config_mod.reset_config()
