@@ -109,9 +109,16 @@ class KeySwitchTpuContext:
         # transforms MUST stay canonical: INTT1's output value is reduced
         # into OTHER moduli (intt1_redu) and INTT2's into AddUIntMod — both
         # depend on the integer representative, not just the residue.
+        # data_bits=53: the forward transforms accept UNREDUCED inputs (a
+        # residue canonical under ANOTHER modulus, < 2^52, or e + fix
+        # < q_k + q_j < 2^53) — the transform is mod-q-linear and the limb
+        # pipeline exact to 2^56, so the Barrett passes that used to sit in
+        # front of every engine/tail NTT (the intt1_redu / intt2_redu
+        # analogs) fold into the kernels' limb split for free.
         self._fwd = [
             ntt_mxu_pallas.raw_fwd_call(n, q, tile_p, psi=self.psi[j],
-                                        interpret=interpret, canonical=False)
+                                        interpret=interpret, canonical=False,
+                                        data_bits=53)
             for j, q in enumerate(self.moduli)
         ]
         self._inv = [
@@ -157,12 +164,11 @@ class KeySwitchTpuContext:
             return prod if acc is None else w.add64(acc, prod)
 
         # ---- special engine first (`dyadmult.hpp` engine K-1 + INTT2) ----
+        # coeff values feed the q_k transform UNREDUCED (see __init__
+        # data_bits note): NTT_{q_k}(x) == NTT_{q_k}(x mod q_k) exactly
         sp = K - 1
-        red = [
-            w.barrett_reduce64(coeff[i], qk, self.q_barr[sp]) for i in range(L)
-        ]
-        stack_lo = jnp.concatenate([r[0] for r in red])  # (L*B, n)
-        stack_hi = jnp.concatenate([r[1] for r in red])
+        stack_lo = jnp.concatenate([c[0] for c in coeff])  # (L*B, n)
+        stack_hi = jnp.concatenate([c[1] for c in coeff])
         vlo, vhi = self._transform(self._fwd, sp, stack_lo, stack_hi)
         acc_sp = [None] * comp
         for i in range(L):
@@ -188,11 +194,10 @@ class KeySwitchTpuContext:
             fix = q - (qk_half % q)
             parts_lo, parts_hi = [], []
             others = [i for i in range(L) if i != j]
-            for i in others:
-                r = w.barrett_reduce64(coeff[i], q, self.q_barr[j])
-                parts_lo.append(r[0])
-                parts_hi.append(r[1])
-            f = w.barrett_reduce64(w.add64(e, fix), q, self.q_barr[j])
+            for i in others:  # unreduced: the wide-input kernel reduces
+                parts_lo.append(coeff[i][0])
+                parts_hi.append(coeff[i][1])
+            f = w.add64(e, fix)  # < q_k + q_j < 2^53: also fed unreduced
             parts_lo.append(f[0])  # (comp*B, n) tail transforms
             parts_hi.append(f[1])
             vlo, vhi = self._transform(

@@ -98,12 +98,18 @@ def _w_tables(W: np.ndarray, q: int, nlimb: int = NLIMB):
 
 
 @functools.lru_cache(maxsize=None)
-def make_plan(n: int, q: int, n1: int = 128, psi: int | None = None):
+def make_plan(n: int, q: int, n1: int = 128, psi: int | None = None,
+              min_data_bits: int | None = None):
     """All precomputed constants for fwd+inv four-step NTT at (n, q).
 
     psi overrides the 2n-th root (e.g. derived from a caller twiddle table:
     the golden-layout forward table stores psi at index bit_reverse(1) = n/2,
-    so any table-defined transform is reproduced exactly)."""
+    so any table-defined transform is reproduced exactly).
+
+    min_data_bits widens the data-limb count so inputs up to 2^min_data_bits
+    stay exact — the transform is mod-q-linear, so feeding an UNREDUCED
+    residue representative (e.g. a value still in another modulus's domain)
+    yields the exact NTT of (x mod q) without a Barrett pass in front."""
     assert n % n1 == 0
     n2 = n // n1
     b1, b2 = nt.log2_exact(n1), nt.log2_exact(n2)
@@ -154,6 +160,9 @@ def make_plan(n: int, q: int, n1: int = 128, psi: int | None = None):
     q_barr = ((1 << 64) // q) & ((1 << 64) - 1)
     ones = np.ones((1, 1), dtype=object)
     nl = nlimb_for(q)
+    if min_data_bits is not None:
+        nl = max(nl, -(-int(min_data_bits) // 8))
+    assert nl <= NLIMB
 
     def lazy_tab(W):
         """(W, W_precon) uint32 pairs for the Harvey lazy twiddle multiply."""

@@ -344,13 +344,19 @@ def inv_ntt_fn(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
 
 def raw_fwd_call(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
                  psi: int | None = None, interpret: bool = False,
-                 canonical: bool = True):
+                 canonical: bool = True, data_bits: int | None = None):
     """Unjitted fused-forward callable for composition inside a larger jit.
 
     canonical=False emits any-u64 representatives (the final Barrett is
     skipped) for consumers that reduce themselves — e.g. the keyswitch MAC's
-    Harvey lazy multiply, which is exact for any u64 input."""
-    plan = make_plan(n, q, _pick_n1(n), psi)
+    Harvey lazy multiply, which is exact for any u64 input.
+
+    data_bits widens the input-limb coverage: the transform is mod-q-linear,
+    so callers may feed UNREDUCED representatives up to 2^data_bits (e.g. a
+    residue still canonical in a different modulus) and receive the exact
+    NTT of (x mod q) — the Barrett pass that would otherwise sit in front
+    of the kernel disappears entirely."""
+    plan = make_plan(n, q, _pick_n1(n), psi, data_bits)
     kernel = _fwd_kernel(n, q, tile_p, plan, canonical)
     return _make_call(kernel, plan["n1"], plan["n2"], tile_p,
                       _fwd_tabs(plan, tile_p), interpret)
