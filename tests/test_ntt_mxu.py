@@ -77,3 +77,24 @@ def test_mxu_pallas_interpret_matches_golden():
     np.testing.assert_array_equal(got, golden.fwd_ntt(a, q))
     back = ntt_mxu_pallas.inv_ntt(got, q, tile_p=2, interpret=True)
     np.testing.assert_array_equal(back, a)
+
+
+def test_mxu_pallas_wide_input_unreduced():
+    """data_bits widening: the forward kernel fed UNREDUCED representatives
+    (values far above q, e.g. residues canonical under another modulus)
+    returns exactly NTT(x mod q) — the mod-q-linearity the keyswitch relies
+    on to drop its engine-side Barrett passes."""
+    import jax
+
+    from hexl_fpga_tpu.ops import ntt_mxu_pallas
+
+    n = 1024
+    q = int(nt.generate_primes(1, 45, n)[0])  # nlimb_for(q) = 6 (48 bits)
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 1 << 53, size=(2, n), dtype=np.uint64)
+    call = ntt_mxu_pallas.raw_fwd_call(n, q, tile_p=2, interpret=True,
+                                       data_bits=53)
+    lo, hi = w.to_pair_np(raw)
+    olo, ohi = jax.jit(call)(lo, hi)
+    got = w.from_pair_np(np.asarray(olo), np.asarray(ohi))
+    np.testing.assert_array_equal(got, golden.fwd_ntt(raw % np.uint64(q), q))
