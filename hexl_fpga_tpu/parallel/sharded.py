@@ -519,8 +519,12 @@ class ShardedKeySwitch:
                 # virtual CPU mesh under a TPU-attached process)
                 interpret = np.asarray(mesh.devices).flat[0].platform == "cpu"
             self.tile_p = tile_p
+            # data_bits=53: engines consume INTT1 outputs (canonical under a
+            # DIFFERENT modulus, < 2^52) and e + fix (< 2^53) unreduced —
+            # same wide-input trick as the single-chip keyswitch
             self._mxu_fwd = [
-                ntt_mxu_pallas.raw_fwd_call(n, q, tile_p, interpret=interpret)
+                ntt_mxu_pallas.raw_fwd_call(n, q, tile_p, interpret=interpret,
+                                            data_bits=53)
                 for q in self.moduli
             ]
             self._mxu_inv = [
@@ -578,6 +582,8 @@ class ShardedKeySwitch:
             for i in range(L):
                 if i == j:
                     val = tp(i)
+                elif self.engine_impl == "mxu":
+                    val = self._fwd_t(coeff[i], j)  # wide-input: no reduce
                 else:
                     red = w.barrett_reduce64(coeff[i], q, self.q_barr[j])
                     val = self._fwd_t(red, j)
@@ -648,9 +654,9 @@ class ShardedKeySwitch:
                         outs = []
                         for k in range(2):
                             e = (e_lo[:, k, :], e_hi[:, k, :])
-                            f = w.barrett_reduce64(
-                                w.add64(e, fix), q, self.q_barr[j]
-                            )
+                            f = w.add64(e, fix)
+                            if self.engine_impl != "mxu":
+                                f = w.barrett_reduce64(f, q, self.q_barr[j])
                             g = self._fwd_t(f, j)
                             acc = (alo[:, k, :], ahi[:, k, :])
                             t1 = w.reduce_mod_factor(
