@@ -130,24 +130,29 @@ def bench_keyswitch():
         out = ctx.run_batch(rs, ts, vec.key_vectors, vec.modswitch_factors)
     e2e = B / ((time.time() - t0) / iters)
 
-    # device-resident steady-state rate: dependent chain on the result
-    # accumulator (each iteration's output ciphertext feeds the next
-    # accumulate — the production pattern of adjacent device ops), timed by
-    # slope to cancel the host dispatch overhead.
+    # device-resident steady-state rate: dependent chain feeding the output
+    # ciphertext back as BOTH the next target and accumulator, so no part of
+    # the body is loop-invariant (XLA's while-loop invariant code motion
+    # would otherwise hoist the transform core out of the timing loop and
+    # fake the rate), timed by slope to cancel the host dispatch overhead.
     from hexl_fpga_tpu.utils.timing import chain_timer
 
     t = w.to_pair_np(ts.reshape(B, L, n))
     r = w.to_pair_np(rs.reshape(B, 2, L, n))
     keys = [jnp.asarray(x) for x in ctx.device_keys(vec.key_vectors)]
     mlo, mhi = ctx.prepare_msf(vec.modswitch_factors)
-    tlo, thi = jnp.asarray(t[0]), jnp.asarray(t[1])
     mlo, mhi = jnp.asarray(mlo), jnp.asarray(mhi)
 
-    def step(rlo, rhi):
-        return ctx._build(tlo, thi, *keys, rlo, rhi, mlo, mhi)
+    def step(tlo, thi, rlo, rhi):
+        olo, ohi = ctx._build(tlo, thi, *keys, rlo, rhi, mlo, mhi)
+        return olo[:, 0], ohi[:, 0], olo, ohi
 
-    dt = chain_timer(step, (jnp.asarray(r[0]), jnp.asarray(r[1])),
-                     i1=2, i2=8)
+    dt = chain_timer(
+        step,
+        (jnp.asarray(t[0]), jnp.asarray(t[1]),
+         jnp.asarray(r[0]), jnp.asarray(r[1])),
+        i1=2, i2=8,
+    )
     dev = B / dt
     log(f"[keyswitch] device {dev:.0f} op/s, e2e {e2e:.0f} op/s (batch {B})")
     return dev, e2e

@@ -61,14 +61,19 @@ def main():
     r = w.to_pair_np(rs.reshape(B, 2, L, n))
     keys = [jnp.asarray(x) for x in ctx.device_keys(vec.key_vectors)]
     mlo, mhi = ctx.prepare_msf(vec.modswitch_factors)
-    tlo, thi = jnp.asarray(t[0]), jnp.asarray(t[1])
     mlo, mhi = jnp.asarray(mlo), jnp.asarray(mhi)
 
-    def step(rlo, rhi):
-        return ctx._build(tlo, thi, *keys, rlo, rhi, mlo, mhi)
+    # output feeds back as BOTH next target and accumulator: hoist-proof
+    def step(tlo, thi, rlo, rhi):
+        olo, ohi = ctx._build(tlo, thi, *keys, rlo, rhi, mlo, mhi)
+        return olo[:, 0], ohi[:, 0], olo, ohi
 
-    dt = chain_timer(step, (jnp.asarray(r[0]), jnp.asarray(r[1])),
-                     i1=2, i2=8)
+    dt = chain_timer(
+        step,
+        (jnp.asarray(t[0]), jnp.asarray(t[1]),
+         jnp.asarray(r[0]), jnp.asarray(r[1])),
+        i1=2, i2=8,
+    )
     emit("keyswitch_throughput_device", B / dt, "op/s",
          config=f"{n}_{L}_{K}_{L+1}_2", batch=B,
          ms_per_batch=round(dt * 1e3, 1))

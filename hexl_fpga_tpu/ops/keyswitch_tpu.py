@@ -74,6 +74,7 @@ class KeySwitchTpuContext:
         twiddle_factors: Optional[np.ndarray] = None,
         tile_p: int = 4,
         interpret: bool = False,
+        fused_mac: bool = False,
     ):
         assert key_component_count == 2, "key_component_count must be 2"
         # The engine count threads through rns_modulus_size in the reference
@@ -126,6 +127,28 @@ class KeySwitchTpuContext:
                                         interpret=interpret)
             for j, q in enumerate(self.moduli)
         ]
+        # fused transform+MAC engines (`dyadmult.hpp` in one kernel): the
+        # engine NTT outputs accumulate against the keys in VMEM and never
+        # round-trip HBM; skip_i marks the identity limb whose term comes
+        # from t_target directly.  Measured on v5e it is NOT faster than
+        # the separate-MAC schedule (2.9K vs 3.1K op/s hoist-proof at
+        # 16384_6_7_7_2 — the XLA MAC glue was already fused/minor), so it
+        # stays off by default; it may win on parts with different
+        # VMEM/HBM balance.
+        self.fused_mac = fused_mac
+        if fused_mac:
+            L = self.L
+            self._mac = [
+                ntt_mxu_pallas.raw_fwd_mac_call(
+                    n, self.moduli[j], L, self.comp, tile_p, skip_i=j,
+                    psi=self.psi[j], interpret=interpret, data_bits=53,
+                )
+                for j in range(L)
+            ]
+            self._mac_sp = ntt_mxu_pallas.raw_fwd_mac_call(
+                n, self.qk, L, self.comp, tile_p, skip_i=None,
+                psi=self.psi[self.K - 1], interpret=interpret, data_bits=53,
+            )
         self._fn = jax.jit(self._build)
 
     # -- jitted body --------------------------------------------------------
@@ -141,9 +164,23 @@ class KeySwitchTpuContext:
         """t: (B, L, n); keys + key precons: (L, comp, K, n);
         res: (B, comp, L, n); msf: (K,) reduced modswitch factors."""
         n, L, K, comp = self.n, self.L, self.K, self.comp
-        B = t_lo.shape[0]
+        B0 = t_lo.shape[0]
         moduli = self.moduli
         qk, qk_half = self.qk, self.qk_half
+
+        # the fused MAC kernels tile the batch: pad B globally (zero rows
+        # transform/accumulate to zeros and are sliced off at the end)
+        pad = (-B0) % self.tile_p if self.fused_mac else 0
+        if pad:
+            t_lo = jnp.concatenate(
+                [t_lo, jnp.zeros((pad, L, n), t_lo.dtype)])
+            t_hi = jnp.concatenate(
+                [t_hi, jnp.zeros((pad, L, n), t_hi.dtype)])
+            res_lo = jnp.concatenate(
+                [res_lo, jnp.zeros((pad, comp, L, n), res_lo.dtype)])
+            res_hi = jnp.concatenate(
+                [res_hi, jnp.zeros((pad, comp, L, n), res_hi.dtype)])
+        B = B0 + pad
 
         def tp(i):
             return (t_lo[:, i, :], t_hi[:, i, :])
@@ -163,18 +200,42 @@ class KeySwitchTpuContext:
             prod = w.mul_mod_lazy(val, key, kp, q)
             return prod if acc is None else w.add64(acc, prod)
 
-        # ---- special engine first (`dyadmult.hpp` engine K-1 + INTT2) ----
-        # coeff values feed the q_k transform UNREDUCED (see __init__
-        # data_bits note): NTT_{q_k}(x) == NTT_{q_k}(x mod q_k) exactly
+        # the stacked INTT1 outputs feed every engine UNREDUCED (the
+        # transforms are wide-input; see __init__): one concat, reused by
+        # the special engine and all L decomp engines
         sp = K - 1
         stack_lo = jnp.concatenate([c[0] for c in coeff])  # (L*B, n)
         stack_hi = jnp.concatenate([c[1] for c in coeff])
-        vlo, vhi = self._transform(self._fwd, sp, stack_lo, stack_hi)
-        acc_sp = [None] * comp
-        for i in range(L):
-            val = (vlo[i * B : (i + 1) * B], vhi[i * B : (i + 1) * B])
-            for k in range(comp):
-                acc_sp[k] = mac(acc_sp[k], val, i, k, sp, qk)
+
+        def engine_acc(j, q, mac_call, skip_t_term):
+            """acc[k] (lazy u64 reps, < (L+1)*2q) for engine modulus j."""
+            if self.fused_mac:
+                alo, ahi = mac_call(
+                    stack_lo, stack_hi,
+                    keys_lo[:, :, j, :], keys_hi[:, :, j, :],
+                    kp_lo[:, :, j, :], kp_hi[:, :, j, :],
+                )
+                acc = [(alo[k], ahi[k]) for k in range(comp)]
+            else:
+                vlo, vhi = self._transform(self._fwd, j, stack_lo, stack_hi)
+                acc = [None] * comp
+                for i in range(L):
+                    if skip_t_term and i == j:
+                        continue
+                    val = (vlo[i * B : (i + 1) * B], vhi[i * B : (i + 1) * B])
+                    for k in range(comp):
+                        acc[k] = mac(acc[k], val, i, k, j, q)
+            if skip_t_term:
+                # identity limb i == j: INTT_q then NTT_q is the identity on
+                # canonical inputs — its MAC term comes from t_target
+                for k in range(comp):
+                    acc[k] = mac(acc[k], tp(j), j, k, j, q)
+            return acc
+
+        # ---- special engine first (`dyadmult.hpp` engine K-1 + INTT2) ----
+        acc_sp = engine_acc(
+            sp, qk, self._mac_sp if self.fused_mac else None, False
+        )
         acc_sp = [
             w.barrett_reduce64(a, qk, self.q_barr[sp]) for a in acc_sp
         ]
@@ -186,42 +247,24 @@ class KeySwitchTpuContext:
         )
         e = w.add_mod((dlo, dhi), qk_half, qk)  # (comp*B, n)
 
-        # ---- per decomp modulus: engine NTTs + tail NTTs in ONE call ----
+        # ---- per decomp modulus: fused engine MAC + tail NTT ----
         out_lo = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
         out_hi = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
         for j in range(L):
             q = moduli[j]
             fix = q - (qk_half % q)
-            parts_lo, parts_hi = [], []
-            others = [i for i in range(L) if i != j]
-            for i in others:  # unreduced: the wide-input kernel reduces
-                parts_lo.append(coeff[i][0])
-                parts_hi.append(coeff[i][1])
-            f = w.add64(e, fix)  # < q_k + q_j < 2^53: also fed unreduced
-            parts_lo.append(f[0])  # (comp*B, n) tail transforms
-            parts_hi.append(f[1])
-            vlo, vhi = self._transform(
-                self._fwd, j, jnp.concatenate(parts_lo),
-                jnp.concatenate(parts_hi),
+            acc = engine_acc(
+                j, q, self._mac[j] if self.fused_mac else None, True
             )
-            # engine MAC over decomp (identity i == j uses t directly,
-            # INTT_q then NTT_q being the identity on canonical inputs)
-            acc = [None] * comp
-            for idx, i in enumerate(others):
-                val = (vlo[idx * B : (idx + 1) * B],
-                       vhi[idx * B : (idx + 1) * B])
-                for k in range(comp):
-                    acc[k] = mac(acc[k], val, i, k, j, q)
-            for k in range(comp):
-                acc[k] = mac(acc[k], tp(j), j, k, j, q)
             acc = [w.barrett_reduce64(a, q, self.q_barr[j]) for a in acc]
+            # tail transforms: f = e + fix (< q_k + q_j < 2^53, unreduced)
+            f = w.add64(e, fix)
+            vlo, vhi = self._transform(self._fwd, j, f[0], f[1])
             # modswitch tail (`ms.hpp:27-84`) + host-style accumulate; the
             # lazy-output transform's u64 representative reduces here
-            off = len(others) * B
             for k in range(comp):
                 g = w.barrett_reduce64(
-                    (vlo[off + k * B : off + (k + 1) * B],
-                     vhi[off + k * B : off + (k + 1) * B]),
+                    (vlo[k * B : (k + 1) * B], vhi[k * B : (k + 1) * B]),
                     q, self.q_barr[j],
                 )
                 t1 = w.reduce_mod_factor(
@@ -233,7 +276,7 @@ class KeySwitchTpuContext:
                 r_out = w.cond_sub64(w.add64(r_in, delta), q)
                 out_lo = out_lo.at[:, k, j, :].set(r_out[0])
                 out_hi = out_hi.at[:, k, j, :].set(r_out[1])
-        return out_lo, out_hi
+        return out_lo[:B0], out_hi[:B0]
 
     # -- numpy wrappers (same surface as keyswitch_jax.KeySwitchContext) ----
 

@@ -184,32 +184,45 @@ def _stage_right_inkernel(lo, hi, g_ref, corr_ref, q, c64, q_barr,
 # ---------------------------------------------------------------------------
 
 
+def _fwd_body(lo3, hi3, g1_ref, c1_ref, uw_lo, uw_hi, up_lo, up_hi,
+              g2_ref, c2_ref, q, n1, n2, tile_p, c64, q_barr, canonical):
+    """Both forward stages on a (tile_p, n1, n2) tile; returns same shape.
+
+    Dataflow keeps the lane (minor) axis aligned through both stages —
+    j2 -> j2 -> m2 — so the only data movements are cheap major-axis swaps:
+      in (P, n1, n2) --(1,0,2)--> (n1, P*n2)   stage-1 LEFT matmul (over j1)
+      (n1, P*n2) == ((m1,p), n2) view          stage-2 RIGHT matmul (over j2)
+      out ((m1,p), m2) --(1,0,2)--> (P, n1, n2)
+    The U twiddle tables are host-pre-tiled to (n1, P*n2) so the lazy
+    multiply is a plain same-shape elementwise op (no in-kernel broadcast)."""
+    lo = jnp.transpose(lo3, (1, 0, 2)).reshape(n1, tile_p * n2)
+    hi = jnp.transpose(hi3, (1, 0, 2)).reshape(n1, tile_p * n2)
+    clo, chi = _stage_left_inkernel(
+        lo, hi, g1_ref, c1_ref, q, c64, q_barr,
+        w_tables=(uw_lo, uw_hi, up_lo, up_hi),
+    )  # lazy [0, 2q)
+    # (n1, P*n2) == (n1*P, n2) view: stage-2 contraction on minor axis
+    olo, ohi = _stage_right_inkernel(
+        clo.reshape(n1 * tile_p, n2), chi.reshape(n1 * tile_p, n2),
+        g2_ref, c2_ref, q, c64, q_barr, canonical=canonical,
+    )
+    return (jnp.transpose(olo.reshape(n1, tile_p, n2), (1, 0, 2)),
+            jnp.transpose(ohi.reshape(n1, tile_p, n2), (1, 0, 2)))
+
+
 def _fwd_kernel(n: int, q: int, tile_p: int, plan, canonical=True):
-    # Dataflow keeps the lane (minor) axis aligned through both stages —
-    # j2 -> j2 -> m2 — so the only data movements are cheap major-axis swaps:
-    #   in (P, n1, n2) --(1,0,2)--> (n1, P*n2)   stage-1 LEFT matmul (over j1)
-    #   (n1, P*n2) == ((m1,p), n2) view          stage-2 RIGHT matmul (over j2)
-    #   out ((m1,p), m2) --(1,0,2)--> (P, n1, n2)
-    # The U twiddle tables are host-pre-tiled to (n1, P*n2) so the lazy
-    # multiply is a plain same-shape elementwise op (no in-kernel broadcast).
     n1, n2 = plan["n1"], plan["n2"]
     c64, q_barr = int(plan["c64"]), int(plan["q_barr"])
 
     def kernel(lo_ref, hi_ref, g1_ref, c1_ref, uw_lo, uw_hi, up_lo, up_hi,
                g2_ref, c2_ref, olo_ref, ohi_ref):
-        lo = jnp.transpose(lo_ref[:], (1, 0, 2)).reshape(n1, tile_p * n2)
-        hi = jnp.transpose(hi_ref[:], (1, 0, 2)).reshape(n1, tile_p * n2)
-        clo, chi = _stage_left_inkernel(
-            lo, hi, g1_ref, c1_ref, q, c64, q_barr,
-            w_tables=(uw_lo[:], uw_hi[:], up_lo[:], up_hi[:]),
-        )  # lazy [0, 2q)
-        # (n1, P*n2) == (n1*P, n2) view: stage-2 contraction on minor axis
-        olo, ohi = _stage_right_inkernel(
-            clo.reshape(n1 * tile_p, n2), chi.reshape(n1 * tile_p, n2),
-            g2_ref, c2_ref, q, c64, q_barr, canonical=canonical,
+        olo, ohi = _fwd_body(
+            lo_ref[:], hi_ref[:], g1_ref, c1_ref,
+            uw_lo[:], uw_hi[:], up_lo[:], up_hi[:], g2_ref, c2_ref,
+            q, n1, n2, tile_p, c64, q_barr, canonical,
         )
-        olo_ref[:] = jnp.transpose(olo.reshape(n1, tile_p, n2), (1, 0, 2))
-        ohi_ref[:] = jnp.transpose(ohi.reshape(n1, tile_p, n2), (1, 0, 2))
+        olo_ref[:] = olo
+        ohi_ref[:] = ohi
 
     return kernel
 
@@ -371,6 +384,113 @@ def raw_inv_call(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
     kernel = _inv_kernel(n, q, tile_p, plan, canonical)
     return _make_call(kernel, plan["n1"], plan["n2"], tile_p, _inv_tabs(plan),
                       interpret)
+
+
+def raw_fwd_mac_call(n: int, q: int, L: int, comp: int = 2,
+                     tile_p: int = DEFAULT_TILE_P, skip_i: int | None = None,
+                     psi: int | None = None, interpret: bool = False,
+                     data_bits: int | None = None):
+    """Fused forward-NTT + key-MAC: the keyswitch engine of `dyadmult.hpp`
+    as ONE kernel.
+
+    call(data_lo, data_hi, kw_lo, kw_hi, kp_lo, kp_hi) -> (acc_lo, acc_hi)
+      data: (L*B, n) u32-pair planes, i-major (rows i*B..i*B+B-1 = source
+            limb i's batch) — e.g. the stacked INTT1 outputs, UNREDUCED
+            (pair with data_bits);
+      keys/precons: (L, comp, n) planes (this modulus's key column);
+      acc:  (comp, B, n) u64-pair representatives of
+            sum_i lazy(NTT_q(data_i) * key[i, k])  (< 2q per term, < 2^56
+            total for L <= 7) — Barrett-reduce downstream.
+
+    The transform outputs never touch HBM: the grid runs (batch-tile, i)
+    with i innermost, so each batch-tile's accumulator block stays resident
+    in VMEM across all L source limbs (the VMEM analog of the reference's
+    t_poly_lazy BRAM accumulators, `dyadmult.hpp:91-166`).  skip_i marks the
+    identity source limb (i == j) whose contribution the caller adds from
+    t_target directly."""
+    plan = make_plan(n, q, _pick_n1(n), psi, data_bits)
+    n1, n2 = plan["n1"], plan["n2"]
+    c64, q_barr = int(plan["c64"]), int(plan["q_barr"])
+    tabs = _fwd_tabs(plan, tile_p)
+    init_i = 1 if skip_i == 0 else 0
+
+    def kernel(lo_ref, hi_ref, g1_ref, c1_ref, uw_lo, uw_hi, up_lo, up_hi,
+               g2_ref, c2_ref, kw_lo, kw_hi, kp_lo, kp_hi,
+               alo_ref, ahi_ref):
+        i = pl.program_id(1)
+        run = (i != skip_i) if skip_i is not None else (i >= 0)
+
+        @pl.when(run)
+        def _():
+            olo, ohi = _fwd_body(
+                lo_ref[:], hi_ref[:], g1_ref, c1_ref,
+                uw_lo[:], uw_hi[:], up_lo[:], up_hi[:], g2_ref, c2_ref,
+                q, n1, n2, tile_p, c64, q_barr, canonical=False,
+            )
+            for k in range(comp):
+                key = (kw_lo[0, k][None], kw_hi[0, k][None])
+                kp = (kp_lo[0, k][None], kp_hi[0, k][None])
+                prod = w.mul_mod_lazy((olo, ohi), key, kp, q)
+
+                @pl.when(i == init_i)
+                def _():
+                    alo_ref[k] = prod[0]
+                    ahi_ref[k] = prod[1]
+
+                @pl.when(i != init_i)
+                def _():
+                    s = w.add64((alo_ref[k], ahi_ref[k]), prod)
+                    alo_ref[k] = s[0]
+                    ahi_ref[k] = s[1]
+
+    def call(lo, hi, kw_lo, kw_hi, kp_lo, kp_hi):
+        LB = lo.shape[0]
+        B = LB // L
+        assert B % tile_p == 0
+        bb = B // tile_p
+        data_spec = pl.BlockSpec(
+            (tile_p, n1, n2), lambda b, i: (i * bb + b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        key_spec = pl.BlockSpec(
+            (1, comp, n1, n2), lambda b, i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        acc_spec = pl.BlockSpec(
+            (comp, tile_p, n1, n2), lambda b, i: (0, b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        full = [
+            pl.BlockSpec(
+                t.shape, (lambda nd: (lambda b, i: (0,) * nd))(t.ndim),
+                memory_space=pltpu.VMEM,
+            )
+            for t in tabs
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=(bb, L),
+            in_specs=[data_spec, data_spec] + full
+            + [key_spec, key_spec, key_spec, key_spec],
+            out_specs=[acc_spec, acc_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((comp, B, n1, n2), jnp.uint32),
+                jax.ShapeDtypeStruct((comp, B, n1, n2), jnp.uint32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(
+            lo.reshape(LB, n1, n2), hi.reshape(LB, n1, n2),
+            *tabs,
+            kw_lo.reshape(L, comp, n1, n2), kw_hi.reshape(L, comp, n1, n2),
+            kp_lo.reshape(L, comp, n1, n2), kp_hi.reshape(L, comp, n1, n2),
+        )
+        return out[0].reshape(comp, B, n), out[1].reshape(comp, B, n)
+
+    return call
 
 
 # numpy wrappers -------------------------------------------------------------

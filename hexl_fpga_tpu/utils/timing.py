@@ -30,7 +30,14 @@ def chain_timer(step: Callable, state: Tuple, i1: int = 6, i2: int = 22,
     """Seconds per iteration of `step` (state -> state), overhead-free.
 
     `step` must be traceable (it is compiled once inside a fori_loop) and
-    return arrays of the same shapes/dtypes as `state`."""
+    return arrays of the same shapes/dtypes as `state`.
+
+    CAUTION: every expensive part of `step` must depend on the carried
+    state.  XLA's while-loop invariant code motion hoists loop-invariant
+    subgraphs (including whole kernel chains) out of the fori_loop body —
+    a step whose hot path consumes only closed-over constants measures the
+    cost of the loop TAIL, not the op.  Feed the op's outputs back into
+    ALL of its major inputs."""
     import jax
     import jax.numpy as jnp
 

@@ -89,3 +89,16 @@ def test_rns_must_be_decomp_plus_one(vec):
         keyswitch_tpu.KeySwitchTpuContext(
             1024, 2, 3, 4, 2, vec.moduli, None, tile_p=2, interpret=True,
         )
+
+
+def test_keyswitch_fused_mac_engine(vec):
+    """Alternative fused transform+MAC engine kernel (raw_fwd_mac_call):
+    bit-exact with the default schedule, including batch padding."""
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
+        tile_p=2, interpret=True, fused_mac=True,
+    )
+    got = ctx.run(
+        vec.input, vec.t_target_iter_ptr, vec.key_vectors, vec.modswitch_factors
+    )
+    np.testing.assert_array_equal(got, vec.expected_output)
