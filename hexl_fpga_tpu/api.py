@@ -117,7 +117,10 @@ def KeySwitch(
     )
     hexl_assert(key_component_count == 2, "requires key_component_count = 2")
     hexl_assert(moduli is not None, "requires moduli != nullptr")
-    for i in range(decomp_modulus_size):
+    # check every key modulus (special prime included): the wide-input
+    # data_bits=53 kernels rely on e + fix < q_k + q_j < 2^53, so an
+    # out-of-range special modulus must be rejected here, not mis-computed
+    for i in range(key_modulus_size):
         hexl_assert(
             (1 << 16) <= int(moduli[i]) <= (1 << 52),
             "requires each modulus to be in the range of [2^16, 2^52]",

@@ -211,7 +211,9 @@ class KeySwitchContext:
 
 @functools.lru_cache(maxsize=32)
 def _context_cached(n, L, K, rns, comp, moduli, tw_key):
-    tw = _TWIDDLE_STASH.get(tw_key) if tw_key is not None else None
+    # strict lookup: an evicted stash entry must raise, not silently
+    # fall back to default twiddles (see keyswitch_tpu._context_cached)
+    tw = _TWIDDLE_STASH[tw_key] if tw_key is not None else None
     return KeySwitchContext(n, L, K, rns, comp, list(moduli), tw)
 
 

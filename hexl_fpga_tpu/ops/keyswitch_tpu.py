@@ -138,11 +138,16 @@ class KeySwitchTpuContext:
         self.fused_mac = fused_mac
         if fused_mac:
             L = self.L
+            # L == 1: the decomp engine's only MAC term is the t_target
+            # identity limb (added outside the kernel) — a skip_i kernel
+            # would have every grid step predicated off and return an
+            # uninitialized accumulator, so build none (engine_acc skips it).
             self._mac = [
                 ntt_mxu_pallas.raw_fwd_mac_call(
                     n, self.moduli[j], L, self.comp, tile_p, skip_i=j,
                     psi=self.psi[j], interpret=interpret, data_bits=53,
                 )
+                if L >= 2 else None
                 for j in range(L)
             ]
             self._mac_sp = ntt_mxu_pallas.raw_fwd_mac_call(
@@ -150,6 +155,7 @@ class KeySwitchTpuContext:
                 psi=self.psi[self.K - 1], interpret=interpret, data_bits=53,
             )
         self._fn = jax.jit(self._build)
+        self._fn32 = jax.jit(self._build32)
 
     # -- jitted body --------------------------------------------------------
 
@@ -209,7 +215,10 @@ class KeySwitchTpuContext:
 
         def engine_acc(j, q, mac_call, skip_t_term):
             """acc[k] (lazy u64 reps, < (L+1)*2q) for engine modulus j."""
-            if self.fused_mac:
+            if self.fused_mac and mac_call is None:
+                # L == 1 decomp engine: only the identity-limb term exists
+                acc = [None] * comp
+            elif self.fused_mac:
                 alo, ahi = mac_call(
                     stack_lo, stack_hi,
                     keys_lo[:, :, j, :], keys_hi[:, :, j, :],
@@ -277,6 +286,20 @@ class KeySwitchTpuContext:
                 out_lo = out_lo.at[:, k, j, :].set(r_out[0])
                 out_hi = out_hi.at[:, k, j, :].set(r_out[1])
         return out_lo[:B0], out_hi[:B0]
+
+    def _build32(self, t32, r32, keys_lo, keys_hi, kp_lo, kp_hi,
+                 msf_lo, msf_hi):
+        """Interleaved-u32 entry: t32 (B, L, 2n), r32 (B, comp, L, 2n) ->
+        out32 (B, comp, L, 2n).  The u64<->u32-pair split runs ON DEVICE
+        (one cheap relayout each way) so host staging is a zero-copy view —
+        the reference keeps staging off the critical path with ping-pong
+        FPGAObjects (`host/src/fpga.cpp:1517-1545`); here the split itself
+        is eliminated."""
+        t_lo, t_hi = w.deinterleave_jnp(t32)
+        r_lo, r_hi = w.deinterleave_jnp(r32)
+        olo, ohi = self._build(t_lo, t_hi, keys_lo, keys_hi, kp_lo, kp_hi,
+                               r_lo, r_hi, msf_lo, msf_hi)
+        return w.interleave_jnp(olo, ohi)
 
     # -- numpy wrappers (same surface as keyswitch_jax.KeySwitchContext) ----
 
@@ -382,17 +405,109 @@ class KeySwitchTpuContext:
         mlo, mhi = self.prepare_msf(modswitch_factors)
         return self._fn(t[0], t[1], klo, khi, plo, phi, r[0], r[1], mlo, mhi)
 
+    def dispatch_batch32(self, results, t_targets, k_switch_keys,
+                         modswitch_factors):
+        """Zero-copy staging fast path: host u64 buffers are VIEWED as
+        interleaved u32 (no conversion pass), transferred once, and split
+        on-device.  Returns the out32 device array (B, comp, L, 2n) without
+        blocking; view the fetched result with from_interleaved_np."""
+        B = results.shape[0]
+        n, L = self.n, self.L
+        t32 = w.to_interleaved_np(
+            np.asarray(t_targets, dtype=np.uint64).reshape(B, L, n)
+        )
+        r32 = w.to_interleaved_np(
+            np.asarray(results, dtype=np.uint64).reshape(B, self.comp, L, n)
+        )
+        klo, khi, plo, phi = self.device_keys(k_switch_keys)
+        mlo, mhi = self.prepare_msf(modswitch_factors)
+        return self._fn32(t32, r32, klo, khi, plo, phi, mlo, mhi)
+
     def run_batch(self, results, t_targets, k_switch_keys, modswitch_factors):
-        olo, ohi = self.dispatch_batch(
+        out32 = self.dispatch_batch32(
             results, t_targets, k_switch_keys, modswitch_factors
         )
         B = results.shape[0]
-        return w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(B, -1)
+        return w.from_interleaved_np(np.asarray(out32)).reshape(B, -1)
+
+    # -- device-resident ciphertext handles ---------------------------------
+    #
+    # Chained HE workloads (rotate -> keyswitch -> accumulate ...) pay full
+    # host<->device staging per op through the numpy API; the reference has
+    # no such concept (every op round-trips PCIe).  A handle keeps the
+    # operand resident: run_device consumes and returns handles, so a chain
+    # of K keyswitches moves host data 0 times in between.
+
+    def stage_target(self, t_targets) -> "DeviceTarget":
+        """Upload (B, L*n) u64 targets once; reusable across run_device calls."""
+        B = np.asarray(t_targets).shape[0]
+        t32 = w.to_interleaved_np(
+            np.asarray(t_targets, dtype=np.uint64).reshape(B, self.L, self.n)
+        )
+        return DeviceTarget(jnp.asarray(t32), self)
+
+    def stage_ciphertext(self, cts) -> "DeviceCiphertext":
+        """Upload (B, comp*L*n) u64 ciphertexts once as a device handle."""
+        B = np.asarray(cts).shape[0]
+        c32 = w.to_interleaved_np(
+            np.asarray(cts, dtype=np.uint64).reshape(
+                B, self.comp, self.L, self.n
+            )
+        )
+        return DeviceCiphertext(jnp.asarray(c32), self)
+
+    def run_device(self, ct, target, k_switch_keys, modswitch_factors
+                   ) -> "DeviceCiphertext":
+        """KeySwitch entirely on device: ct/target may be handles (stay
+        resident) or host u64 arrays (staged zero-copy).  Returns a handle;
+        call .to_host() only when the chain ends."""
+        if not isinstance(ct, DeviceCiphertext):
+            ct = self.stage_ciphertext(np.asarray(ct, dtype=np.uint64))
+        if not isinstance(target, DeviceTarget):
+            target = self.stage_target(np.asarray(target, dtype=np.uint64))
+        assert ct.ctx is self and target.ctx is self
+        klo, khi, plo, phi = self.device_keys(k_switch_keys)
+        mlo, mhi = self.prepare_msf(modswitch_factors)
+        out32 = self._fn32(target.data32, ct.data32, klo, khi, plo, phi,
+                           mlo, mhi)
+        return DeviceCiphertext(out32, self)
+
+
+class DeviceCiphertext:
+    """(B, comp, L, 2n)-interleaved u32 ciphertext resident on device."""
+
+    def __init__(self, data32, ctx: "KeySwitchTpuContext"):
+        self.data32 = data32
+        self.ctx = ctx
+
+    @property
+    def batch(self) -> int:
+        return self.data32.shape[0]
+
+    def to_host(self) -> np.ndarray:
+        """Fetch as (B, comp*L*n) u64 (zero-copy view of the fetched bytes)."""
+        return w.from_interleaved_np(np.asarray(self.data32)).reshape(
+            self.batch, -1
+        )
+
+    def block_until_ready(self):
+        self.data32.block_until_ready()
+        return self
+
+
+class DeviceTarget:
+    """(B, L, 2n)-interleaved u32 keyswitch target resident on device."""
+
+    def __init__(self, data32, ctx: "KeySwitchTpuContext"):
+        self.data32 = data32
+        self.ctx = ctx
 
 
 @functools.lru_cache(maxsize=16)
 def _context_cached(n, L, K, rns, comp, moduli, tw_key, tile_p, interpret):
-    tw = _TWIDDLE_STASH.get(tw_key) if tw_key is not None else None
+    # strict lookup: a stash entry evicted between insertion and this call
+    # must raise, not silently build the context with default twiddles
+    tw = _TWIDDLE_STASH[tw_key] if tw_key is not None else None
     return KeySwitchTpuContext(
         n, L, K, rns, comp, list(moduli), tw, tile_p, interpret
     )

@@ -162,7 +162,12 @@ def make_plan(n: int, q: int, n1: int = 128, psi: int | None = None,
     nl = nlimb_for(q)
     if min_data_bits is not None:
         nl = max(nl, -(-int(min_data_bits) // 8))
-    assert nl <= NLIMB
+    if nl > NLIMB:
+        raise ValueError(
+            f"modulus {q} needs {nl} 8-bit limbs (> {NLIMB}): the MXU plan "
+            "covers q < 2^55; route wider moduli to the XLA/VPU core "
+            "(ntt_jax) instead"
+        )
 
     def lazy_tab(W):
         """(W, W_precon) uint32 pairs for the Harvey lazy twiddle multiply."""

@@ -408,6 +408,14 @@ def raw_fwd_mac_call(n: int, q: int, L: int, comp: int = 2,
     t_poly_lazy BRAM accumulators, `dyadmult.hpp:91-166`).  skip_i marks the
     identity source limb (i == j) whose contribution the caller adds from
     t_target directly."""
+    # with skip_i set, some other grid step must initialize the accumulator:
+    # at L == 1 the only step (i == 0 == skip_i) is predicated off and the
+    # output block would be returned uninitialized — the caller's sole term
+    # is the t_target identity limb, so it must not emit this kernel at all.
+    assert skip_i is None or L >= 2, (
+        "raw_fwd_mac_call with skip_i requires L >= 2 (at L == 1 the only "
+        "grid step is skipped and the accumulator is never written)"
+    )
     plan = make_plan(n, q, _pick_n1(n), psi, data_bits)
     n1, n2 = plan["n1"], plan["n2"]
     c64, q_barr = int(plan["c64"]), int(plan["q_barr"])

@@ -164,12 +164,23 @@ class JaxExecutor(_Base):
     def run_dyadic_multiply(self, batch):
         self.submit_dyadic_multiply(batch)()
 
+    @staticmethod
+    def _mxu_supported(n: int, q: int) -> bool:
+        """The fused MXU tier covers power-of-two n >= 1024 with moduli whose
+        lazy domain [0, 2q) fits 7 8-bit limbs (q < 2^55).  Wider moduli —
+        the reference's standalone NTT accepts up to 62 bits
+        (`tests/test_fwd_ntt.cpp:119-170`) — fall back to the exact XLA/VPU
+        core, which handles any q < 2^62."""
+        from ..ops import ntt_mxu
+
+        return n >= 1024 and n % 128 == 0 and ntt_mxu.nlimb_for(q) <= ntt_mxu.NLIMB
+
     def run_ntt(self, batch):
         with self._ctx():
             a = batch[0].args
             ops = np.stack([np.asarray(i.args["operand"], dtype=np.uint64) for i in batch])
             n, q = a["n"], a["coeff_modulus"]
-            if self.accelerated and n >= 1024:
+            if self.accelerated and self._mxu_supported(n, int(q)):
                 from ..ops import ntt_mxu_pallas
 
                 # golden-layout table stores the 2n-th root at bit_reverse(1)
@@ -189,7 +200,7 @@ class JaxExecutor(_Base):
             a = batch[0].args
             ops = np.stack([np.asarray(i.args["operand"], dtype=np.uint64) for i in batch])
             n, q = a["n"], a["coeff_modulus"]
-            if self.accelerated and n >= 1024:
+            if self.accelerated and self._mxu_supported(n, int(q)):
                 from ..ops import nt as _nt, ntt_mxu_pallas
 
                 # scan-order inverse table: inv[1] = psi^{-1}
@@ -235,16 +246,28 @@ class JaxExecutor(_Base):
             rs = np.stack(
                 [np.asarray(i.args["result"], dtype=np.uint64).ravel() for i in batch]
             )
-            olo, ohi = ctx.dispatch_batch(
-                rs, ts, a["k_switch_keys"], a["modswitch_factors"]
-            )
+            dispatch32 = getattr(ctx, "dispatch_batch32", None)
+            if dispatch32 is not None:
+                # zero-copy staging + on-device u64 split (keyswitch_tpu)
+                out32 = dispatch32(rs, ts, a["k_switch_keys"],
+                                   a["modswitch_factors"])
+                olo = ohi = None
+            else:
+                olo, ohi = ctx.dispatch_batch(
+                    rs, ts, a["k_switch_keys"], a["modswitch_factors"]
+                )
 
         from ..ops import word64 as _w
 
         def finalize():
-            out = _w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(
-                len(batch), -1
-            )
+            if olo is None:
+                out = _w.from_interleaved_np(np.asarray(out32)).reshape(
+                    len(batch), -1
+                )
+            else:
+                out = _w.from_pair_np(
+                    np.asarray(olo), np.asarray(ohi)
+                ).reshape(len(batch), -1)
             for b, item in enumerate(batch):
                 np.copyto(item.args["result"], out[b].reshape(item.args["result"].shape))
 

@@ -175,7 +175,12 @@ class Device:
         pending = None  # (batch, finalize_fn, t0) awaiting demux
         while True:
             try:
-                batch = self.buffer.pop_batch(self.batch_sizes)
+                # holding a pending (un-finalized) batch: only a non-blocking
+                # probe — with NUM_DEV > 1 another worker may have drained the
+                # queue between our length check and this pop, and callers
+                # blocked in completed() must not wait out a poll timeout
+                timeout = 0.0 if pending is not None else 0.05
+                batch = self.buffer.pop_batch(self.batch_sizes, timeout=timeout)
             except Exception:
                 break
             if not batch:

@@ -59,6 +59,30 @@ def test_golden_matches_vectors(vecs):
         np.testing.assert_array_equal(got, vec.expected_output)
 
 
+def test_flagship_vector_loads_and_schema_checks():
+    """The committed 16384_6_7_7_2 flagship vector must always load with a
+    consistent schema in the fast tier (its full compute runs in bench.py,
+    the dryrun, and the heavy tier — too slow for a 1-core fast run)."""
+    files = glob.glob(os.path.join(DEFAULT_DATA_DIR, "16384_6_7_7_2_*.json*"))
+    assert files, "flagship 16384_6_7_7_2 vector missing from tests/testdata/"
+    vec = vectors.load_json(sorted(files)[0])
+    n, L, K = vec.coeff_count, vec.decomp_modulus_size, vec.key_modulus_size
+    assert (n, L, K) == (16384, 6, 7)
+    assert vec.rns_modulus_size == L + 1
+    assert vec.key_component_count == 2
+    assert len(vec.moduli) == K
+    assert all(1 << 16 <= int(q) <= 1 << 52 for q in vec.moduli)
+    assert np.asarray(vec.t_target_iter_ptr).size == L * n
+    assert np.asarray(vec.input).size == 2 * L * n
+    assert np.asarray(vec.expected_output).size == 2 * L * n
+    assert len(vec.key_vectors) == L
+    for kv in vec.key_vectors:
+        assert np.asarray(kv).size == 2 * K * n
+    assert len(vec.modswitch_factors) == K
+    # twiddle buffer: 4 tables x K moduli x n (keyswitch host layout)
+    assert np.asarray(vec.twiddle_factors).size == 4 * K * n
+
+
 @pytest.mark.heavy
 def test_tpu_path_matches_vectors(vecs):
     from hexl_fpga_tpu.ops import keyswitch_tpu

@@ -98,3 +98,25 @@ def test_mxu_pallas_wide_input_unreduced():
     olo, ohi = jax.jit(call)(lo, hi)
     got = w.from_pair_np(np.asarray(olo), np.asarray(ohi))
     np.testing.assert_array_equal(got, golden.fwd_ntt(raw % np.uint64(q), q))
+
+
+def test_wide_modulus_rejected_with_clear_error():
+    # a 61-bit modulus needs 8 limbs > NLIMB: make_plan must raise ValueError
+    # (not a bare AssertionError) so the executor fallback is the only route
+    q61 = nt.generate_primes(1, 61, 1024)[0]
+    assert ntt_mxu.nlimb_for(q61) > ntt_mxu.NLIMB
+    with pytest.raises(ValueError, match="limbs"):
+        ntt_mxu.make_plan(1024, q61, 8)
+
+
+def test_executor_routes_wide_modulus_to_xla_core():
+    # the accelerated tier must fall back to the XLA/VPU core for moduli the
+    # MXU plan cannot cover (reference accepts 20-62 bit primes,
+    # `tests/test_fwd_ntt.cpp:119-170`)
+    from hexl_fpga_tpu.runtime.executors import JaxExecutor
+
+    q61 = nt.generate_primes(1, 61, 1024)[0]
+    q51 = nt.generate_primes(1, 51, 1024)[0]
+    assert not JaxExecutor._mxu_supported(1024, int(q61))
+    assert JaxExecutor._mxu_supported(1024, int(q51))
+    assert not JaxExecutor._mxu_supported(512, int(q51))  # n too small

@@ -90,3 +90,23 @@ def test_api_accelerated_hw():
         api._NTT(op, t.fwd, t.fwd_precon, q, 2048)
     api._NTTCompleted()
     np.testing.assert_array_equal(op, golden.fwd_ntt(a, q, t))
+
+
+def test_api_wide_modulus_fallback_hw():
+    """61-bit modulus through the public _NTT on the accelerated tier: must
+    route to the XLA/VPU core (the MXU plan only covers q < 2^55) and stay
+    bit-exact (reference prime sweep: `tests/test_fwd_ntt.cpp:119-170`)."""
+    from hexl_fpga_tpu import api
+    from hexl_fpga_tpu.ops import golden, nt, twiddles
+
+    api.acquire_FPGA_resources()
+    n = 1024
+    q = nt.generate_primes(1, 61, n)[0]
+    t = twiddles.ntt_tables(n, q)
+    a = np.random.default_rng(7).integers(0, q, size=n, dtype=np.uint64)
+    op = a.copy()
+    with pytest.deprecated_call():
+        api._set_worksize_NTT(1)
+        api._NTT(op, t.fwd, t.fwd_precon, q, n)
+    api._NTTCompleted()
+    np.testing.assert_array_equal(op, golden.fwd_ntt(a, q, t))
