@@ -1,10 +1,24 @@
 """Benchmark driver: the library's headline ops on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
-The primary metric is batched 16K-point forward negacyclic NTT throughput;
-"extras" carries the flagship KeySwitch (16384_6_7_7_2, the reference's
-benchmark config — `benchmark/bench_keyswitch.cpp:15-24,113-159`) and
-DyadicMultiply rates, each validated bit-exact before timing.
+The primary metric is batched 16K-point forward negacyclic NTT throughput
+(median over several batch sizes, spread reported); "extras" carries the
+flagship KeySwitch (16384_6_7_7_2, the reference's benchmark config —
+`benchmark/bench_keyswitch.cpp:15-24,113-159`) and DyadicMultiply rates,
+each validated bit-exact before timing.
+
+KeySwitch is reported three ways (all bit-exact first):
+  * device op/s      — steady-state dependent chain on the device (the rate
+                       a saturated pipeline sustains);
+  * e2e op/s         — through the PUBLIC API (api.KeySwitch + scheduler):
+                       host buffers in and out every batch.  On this
+                       environment's tunneled TPU the device->host link
+                       measures ~50-60 MB/s (vs ~1.4 GB/s host->device), so
+                       this number is WIRE-bound, not compute-bound — the
+                       tunnel_d2h_mb_s extra gives the measured ceiling;
+  * chained op/s     — device-resident ciphertext handles (run_device):
+                       a depth-D dependent chain with ONE host fetch at the
+                       end, the production pattern for chained HE ops.
 
 Baseline: the reference FPGA design's per-compute-unit speed of light —
 VEC=8 butterflies/cycle x 400 MHz = 3.2e9 butterflies/s; one 16K NTT =
@@ -12,8 +26,9 @@ VEC=8 butterflies/cycle x 400 MHz = 3.2e9 butterflies/s; one 16K NTT =
 (`device/config.sh:18-22`; BASELINE.md).  The reference publishes no
 measured numbers, so this design ceiling is the comparison point.
 
-Run on the real TPU chip; extra detail goes to stderr.  Set BENCH_NTT_ONLY=1
-to skip the extras (fast smoke run).
+Run on the real TPU chip; extra detail goes to stderr.  Env knobs:
+BENCH_NTT_ONLY=1 skips the extras; BENCH_BATCHES / BENCH_KS_BATCH /
+BENCH_DY_BATCHES override shapes; BENCH_CHAIN_DEPTH the handle-chain depth.
 """
 
 import json
@@ -28,6 +43,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _median(xs):
+    xs = sorted(xs)
+    m = len(xs) // 2
+    return xs[m] if len(xs) % 2 else 0.5 * (xs[m - 1] + xs[m])
+
+
+def _spread_pct(xs):
+    return 100.0 * (max(xs) - min(xs)) / _median(xs) if len(xs) > 1 else 0.0
+
+
 def bench_ntt():
     import jax
     import numpy as np
@@ -39,54 +64,55 @@ def bench_ntt():
 
     n = 16384
     q = nt.generate_primes(1, 51, n)[0]
-    B = int(os.environ.get("BENCH_BATCH", 2048))
+    batches = [
+        int(b) for b in os.environ.get("BENCH_BATCHES", "1024,2048,4096").split(",")
+    ]
     TP = int(os.environ.get("BENCH_TILE_P", 4))
     rng = np.random.default_rng(0)
-    a = rng.integers(0, q, size=(B, n), dtype=np.uint64)
 
     log(f"devices: {jax.devices()}")
-    log(f"bench: fwd NTT (fused MXU four-step) n={n} q={q} batch={B} tile_p={TP}")
+    log(f"bench: fwd NTT (fused MXU four-step) n={n} q={q} "
+        f"batches={batches} tile_p={TP}")
 
-    lo, hi = w.to_pair_np(a)
-    lo, hi = jnp.asarray(lo), jnp.asarray(hi)
+    rates = []
+    checked = False
+    for B in batches:
+        a = rng.integers(0, q, size=(B, n), dtype=np.uint64)
+        lo, hi = w.to_pair_np(a)
+        lo, hi = jnp.asarray(lo), jnp.asarray(hi)
+        try:
+            raw = ntt_mxu_pallas.raw_fwd_call(n, int(q), TP)
+            if not checked:
+                t0 = time.time()
+                out = call_with_retry(
+                    ntt_mxu_pallas.fwd_ntt_fn(n, int(q), TP), lo, hi
+                )
+                jax.block_until_ready(out)
+                log(f"[mxu B={B}] compile+first run: {time.time() - t0:.1f}s")
+                got = w.from_pair_np(np.asarray(out[0][:4]), np.asarray(out[1][:4]))
+                np.testing.assert_array_equal(got, golden.fwd_ntt(a[:4], q))
+                log(f"[mxu B={B}] bit-exact vs golden: OK")
+                checked = True
+            # dependent-chain slope: overhead-free steady-state rate (the
+            # canonical output re-enters the kernel as a valid input)
+            dt = chain_timer(raw, (lo, hi))
+        except Exception as exc:  # pragma: no cover - fallback path
+            log(f"MXU kernel failed ({type(exc).__name__}: {exc}); "
+                "falling back to the VPU kernel")
+            from hexl_fpga_tpu.ops import ntt_pallas
 
-    def run_kernel(raw_call, jit_fn, label):
-        t0 = time.time()
-        out = call_with_retry(jit_fn, lo, hi)
-        jax.block_until_ready(out)
-        log(f"[{label}] compile+first run: {time.time() - t0:.1f}s")
-        got = w.from_pair_np(np.asarray(out[0][:4]), np.asarray(out[1][:4]))
-        np.testing.assert_array_equal(got, golden.fwd_ntt(a[:4], q))
-        log(f"[{label}] bit-exact vs golden: OK")
-        # dependent-chain slope: overhead-free steady-state rate (the
-        # canonical output re-enters the kernel as a valid input)
-        return chain_timer(raw_call, (lo, hi))
-
-    # primary: fused MXU kernel; fallback: the VPU masked-roll kernel (in
-    # case a toolchain change breaks Mosaic int8 matmuls on this platform)
-    try:
-        dt = run_kernel(
-            ntt_mxu_pallas.raw_fwd_call(n, int(q), TP),
-            ntt_mxu_pallas.fwd_ntt_fn(n, int(q), TP), "mxu",
-        )
-    except Exception as exc:  # pragma: no cover - fallback path
-        log(f"MXU kernel failed ({type(exc).__name__}: {exc}); "
-            "falling back to the VPU kernel")
-        from hexl_fpga_tpu.ops import ntt_pallas
-
-        dt = run_kernel(
-            ntt_pallas.raw_fwd_call(n, int(q), 32),
-            ntt_pallas.fwd_ntt_fn(n, int(q), 32), "vpu",
-        )
-    ntt_per_sec = B / dt
-    log(f"{dt*1e3:.3f} ms/batch -> {ntt_per_sec:.0f} NTT/s")
-    return ntt_per_sec
+            dt = chain_timer(ntt_pallas.raw_fwd_call(n, int(q), 32), (lo, hi))
+        rates.append(B / dt)
+        log(f"[mxu B={B}] {dt*1e3:.3f} ms/batch -> {B/dt:.0f} NTT/s")
+    med, spread = _median(rates), _spread_pct(rates)
+    log(f"fwd NTT median {med:.0f} NTT/s over batches {batches} "
+        f"(spread {spread:.0f}%)")
+    return med, spread
 
 
-def bench_keyswitch():
+def bench_keyswitch(extras):
     """Flagship op at the reference's 16384_6_7_7_2 benchmark config;
-    bit-exact vs the golden model, then timed device-resident AND
-    end-to-end (host buffers in/out, keys upload-once-cached)."""
+    bit-exact vs the frozen committed vector, then timed three ways."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -122,29 +148,75 @@ def bench_keyswitch():
     log(f"[keyswitch] compile+first run: {time.time()-t0:.1f}s")
     np.testing.assert_array_equal(out[0], vec.expected_output)
     np.testing.assert_array_equal(out[B - 1], vec.expected_output)
-    log("[keyswitch] bit-exact vs golden: OK")
+    log("[keyswitch] bit-exact vs frozen vector: OK")
 
-    iters = int(os.environ.get("BENCH_KS_ITERS", 5))
+    # measured tunnel D2H ceiling for the e2e number's context
+    out32 = ctx.dispatch_batch32(rs, ts, vec.key_vectors, vec.modswitch_factors)
+    out32.block_until_ready()
     t0 = time.time()
-    for _ in range(iters):
-        out = ctx.run_batch(rs, ts, vec.key_vectors, vec.modswitch_factors)
-    e2e = B / ((time.time() - t0) / iters)
+    host = np.asarray(out32)
+    d2h = host.nbytes / 1e6 / (time.time() - t0)
+    extras["tunnel_d2h_mb_s"] = round(d2h, 1)
+    log(f"[keyswitch] tunnel D2H: {d2h:.0f} MB/s "
+        f"({host.nbytes/1e6:.0f} MB per batch-{B} result)")
 
-    # device-resident steady-state rate: dependent chain feeding the output
-    # ciphertext back as BOTH the next target and accumulator, so no part of
-    # the body is loop-invariant (XLA's while-loop invariant code motion
-    # would otherwise hoist the transform core out of the timing loop and
-    # fake the rate), timed by slope to cancel the host dispatch overhead.
+    # --- e2e through the PUBLIC API (api.KeySwitch + scheduler) ----------
+    iters = int(os.environ.get("BENCH_KS_ITERS", 3))
+    os.environ.setdefault("BATCH_SIZE_KEYSWITCH", str(B))
+    from hexl_fpga_tpu import api
+
+    api.acquire_FPGA_resources()
+    results = [vec.input.copy() for _ in range(iters * B)]
+    # warm one public-path batch (first submit may re-stage keys)
+    api.set_worksize_KeySwitch(B)
+    for i in range(B):
+        api.KeySwitch(results[i], vec.t_target_iter_ptr, n, L, K, L + 1, 2,
+                      vec.moduli, vec.key_vectors, vec.modswitch_factors,
+                      vec.twiddle_factors)
+    api.KeySwitchCompleted()
+    np.testing.assert_array_equal(
+        results[0].ravel(), vec.expected_output.ravel()
+    )
+    for r in results:
+        np.copyto(r, vec.input)
+    t0 = time.time()
+    api.set_worksize_KeySwitch(iters * B)
+    for r in results:
+        api.KeySwitch(r, vec.t_target_iter_ptr, n, L, K, L + 1, 2,
+                      vec.moduli, vec.key_vectors, vec.modswitch_factors,
+                      vec.twiddle_factors)
+    api.KeySwitchCompleted()
+    e2e = iters * B / (time.time() - t0)
+    np.testing.assert_array_equal(
+        results[-1].ravel(), vec.expected_output.ravel()
+    )
+
+    # --- chained device-resident handles (one host fetch per chain) ------
+    depth = int(os.environ.get("BENCH_CHAIN_DEPTH", 16))
+    h_t = ctx.stage_target(ts)
+    cur = ctx.stage_ciphertext(rs)
+    cur = ctx.run_device(cur, h_t, vec.key_vectors, vec.modswitch_factors)
+    cur.block_until_ready()  # warm
+    t0 = time.time()
+    for _ in range(depth):
+        cur = ctx.run_device(cur, h_t, vec.key_vectors, vec.modswitch_factors)
+    cur.to_host()
+    chained = depth * B / (time.time() - t0)
+
+    # --- device-resident steady-state rate (dependent chain, slope) ------
+    # feeds the output ciphertext back as BOTH the next target and
+    # accumulator, so no part of the body is loop-invariant (XLA's
+    # while-loop invariant code motion would otherwise hoist the transform
+    # core out of the timing loop and fake the rate)
     from hexl_fpga_tpu.utils.timing import chain_timer
 
     t = w.to_pair_np(ts.reshape(B, L, n))
     r = w.to_pair_np(rs.reshape(B, 2, L, n))
     keys = [jnp.asarray(x) for x in ctx.device_keys(vec.key_vectors)]
-    mlo, mhi = ctx.prepare_msf(vec.modswitch_factors)
-    mlo, mhi = jnp.asarray(mlo), jnp.asarray(mhi)
+    msf4 = jnp.asarray(ctx.prepare_msf4(vec.modswitch_factors))
 
     def step(tlo, thi, rlo, rhi):
-        olo, ohi = ctx._build(tlo, thi, *keys, rlo, rhi, mlo, mhi)
+        olo, ohi = ctx._build(tlo, thi, *keys, rlo, rhi, msf4)
         return olo[:, 0], ohi[:, 0], olo, ohi
 
     dt = chain_timer(
@@ -154,70 +226,86 @@ def bench_keyswitch():
         i1=2, i2=8,
     )
     dev = B / dt
-    log(f"[keyswitch] device {dev:.0f} op/s, e2e {e2e:.0f} op/s (batch {B})")
-    return dev, e2e
+    log(f"[keyswitch] device {dev:.0f} op/s, chained(depth {depth}) "
+        f"{chained:.0f} op/s, e2e {e2e:.0f} op/s (batch {B})")
+    return dev, e2e, chained
 
 
 def bench_dyadic():
     """DyadicMultiply at the reference bench shape (N=16384, 14 moduli,
-    `benchmark/bench_dyadic_multiply.cpp`); bit-exact, then device rate."""
+    `benchmark/bench_dyadic_multiply.cpp`); bit-exact, then device rate
+    (median over batch sizes)."""
     import jax
     import numpy as np
 
     from hexl_fpga_tpu.ops import dyadic_pallas, golden, nt
     from hexl_fpga_tpu.utils.retry import call_with_retry
-
-    n, M = 16384, 14
-    B = int(os.environ.get("BENCH_DY_BATCH", 16))
-    moduli = nt.generate_primes(M, 51, n)
-    rng = np.random.default_rng(1)
-    op1 = rng.integers(0, 2**52, size=(B, 2, M, n), dtype=np.uint64)
-    op2 = rng.integers(0, 2**52, size=(B, 2, M, n), dtype=np.uint64)
-    for m, q in enumerate(moduli):  # canonical operands
-        op1[:, :, m, :] %= np.uint64(q)
-        op2[:, :, m, :] %= np.uint64(q)
-
-    runner = dyadic_pallas.runner(tuple(int(q) for q in moduli), n)
-    t0 = time.time()
-    out, dev_args = call_with_retry(runner.first_run, op1, op2)
-    log(f"[dyadic] compile+first run: {time.time()-t0:.1f}s")
-    want = golden.dyadic_multiply(
-        op1[0].ravel(), op2[0].ravel(), n, moduli, M
-    ).reshape(3, M, n)
-    np.testing.assert_array_equal(out[0], want)
-    log("[dyadic] bit-exact vs golden: OK")
-
-    # dependent chain: two of the three output polys feed the next call's
-    # operands, so successive iterations cannot overlap or be elided
     from hexl_fpga_tpu.utils.timing import chain_timer
 
-    def step(l1, h1, l2, h2):
-        olo, ohi = runner.device_call(l1, h1, l2, h2)
-        return olo[:, 0:2], ohi[:, 0:2], olo[:, 1:3], ohi[:, 1:3]
+    n, M = 16384, 14
+    batches = [
+        int(b) for b in os.environ.get("BENCH_DY_BATCHES", "8,16").split(",")
+    ]
+    moduli = nt.generate_primes(M, 51, n)
+    rng = np.random.default_rng(1)
+    rates = []
+    checked = False
+    for B in batches:
+        op1 = rng.integers(0, 2**52, size=(B, 2, M, n), dtype=np.uint64)
+        op2 = rng.integers(0, 2**52, size=(B, 2, M, n), dtype=np.uint64)
+        for m, q in enumerate(moduli):  # canonical operands
+            op1[:, :, m, :] %= np.uint64(q)
+            op2[:, :, m, :] %= np.uint64(q)
 
-    dt = chain_timer(step, tuple(dev_args))
-    rate = B / dt
+        runner = dyadic_pallas.runner(tuple(int(q) for q in moduli), n)
+        t0 = time.time()
+        out, dev_args = call_with_retry(runner.first_run, op1, op2)
+        if not checked:
+            log(f"[dyadic] compile+first run: {time.time()-t0:.1f}s")
+            want = golden.dyadic_multiply(
+                op1[0].ravel(), op2[0].ravel(), n, moduli, M
+            ).reshape(3, M, n)
+            np.testing.assert_array_equal(out[0], want)
+            log("[dyadic] bit-exact vs golden: OK")
+            checked = True
+
+        # dependent chain: two of the three output polys feed the next
+        # call's operands, so successive iterations cannot overlap/elide
+        def step(l1, h1, l2, h2):
+            olo, ohi = runner.device_call(l1, h1, l2, h2)
+            return olo[:, 0:2], ohi[:, 0:2], olo[:, 1:3], ohi[:, 1:3]
+
+        dt = chain_timer(step, tuple(dev_args))
+        rates.append(B / dt)
+        log(f"[dyadic B={B}] {B/dt:.0f} op/s")
+    med, spread = _median(rates), _spread_pct(rates)
     # effective HBM traffic: 4 input + 6 output u32 planes of (2|3, M, n)
     bytes_per_op = (2 * 2 + 3 * 2) * M * n * 4
-    gbs = rate * bytes_per_op / 1e9
-    log(f"[dyadic] {rate:.0f} op/s = {gbs:.0f} GB/s effective (batch {B})")
-    return rate, gbs
+    gbs = med * bytes_per_op / 1e9
+    log(f"[dyadic] median {med:.0f} op/s = {gbs:.0f} GB/s effective "
+        f"(spread {_spread_pct(rates):.0f}%)")
+    return med, gbs, spread
 
 
 def main():
     extras = {}
-    ntt_per_sec = bench_ntt()
+    ntt_per_sec, ntt_spread = bench_ntt()
+    extras["fwd_ntt_spread_pct"] = round(ntt_spread, 1)
     if os.environ.get("BENCH_NTT_ONLY") != "1":
         try:
-            ks_dev, ks_e2e = bench_keyswitch()
+            ks_dev, ks_e2e, ks_chain = bench_keyswitch(extras)
             extras["keyswitch_16384_6_7_7_2_device_op_per_s"] = round(ks_dev, 1)
             extras["keyswitch_16384_6_7_7_2_e2e_op_per_s"] = round(ks_e2e, 1)
+            extras["keyswitch_16384_6_7_7_2_chained_op_per_s"] = round(
+                ks_chain, 1
+            )
         except Exception as exc:  # pragma: no cover
             log(f"keyswitch bench failed: {type(exc).__name__}: {exc}")
         try:
-            dy_rate, dy_gbs = bench_dyadic()
+            dy_rate, dy_gbs, dy_spread = bench_dyadic()
             extras["dyadic_16384x14_op_per_s"] = round(dy_rate, 1)
             extras["dyadic_effective_gb_per_s"] = round(dy_gbs, 1)
+            extras["dyadic_spread_pct"] = round(dy_spread, 1)
         except Exception as exc:  # pragma: no cover
             log(f"dyadic bench failed: {type(exc).__name__}: {exc}")
 

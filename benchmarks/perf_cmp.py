@@ -69,11 +69,10 @@ def main():
             t = w.to_pair_np(ts.reshape(B, L, n))
             r = w.to_pair_np(rs.reshape(B, 2, L, n))
             keys = [jnp.asarray(x) for x in ctx.device_keys(vec.key_vectors)]
-            mlo, mhi = ctx.prepare_msf(vec.modswitch_factors)
-            mlo, mhi = jnp.asarray(mlo), jnp.asarray(mhi)
+            msf4 = jnp.asarray(ctx.prepare_msf4(vec.modswitch_factors))
 
             def step(tlo, thi, rlo, rhi):
-                olo, ohi = ctx._build(tlo, thi, *keys, rlo, rhi, mlo, mhi)
+                olo, ohi = ctx._build(tlo, thi, *keys, rlo, rhi, msf4)
                 return olo[:, 0], ohi[:, 0], olo, ohi  # hoist-proof feedback
 
             tpu_dt = chain_timer(

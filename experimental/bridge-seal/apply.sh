@@ -4,10 +4,18 @@
 #
 # Usage: ./apply.sh [path-to-SEAL-checkout]
 #   (clones SEAL v4.0.0 into ./SEAL if no path is given; needs network)
+#   ./apply.sh --check   validates the patch OFFLINE (no SEAL checkout):
+#   hunk arithmetic, vendored original-side excerpts, and the intel::hexl::
+#   API cross-check against cpp/include/hexl-fpga.h (see check.py).
 set -euo pipefail
 
 HERE="$(cd "$(dirname "$0")" && pwd)"
 REPO_ROOT="$(cd "$HERE/../.." && pwd)"
+
+if [ "${1:-}" = "--check" ]; then
+  exec python3 "$HERE/check.py"
+fi
+
 SEAL_DIR="${1:-$HERE/SEAL}"
 
 if [ ! -d "$SEAL_DIR" ]; then

@@ -355,6 +355,39 @@ def inv_ntt_fn(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
     return jax.jit(call)
 
 
+@functools.lru_cache(maxsize=None)
+def fwd_ntt_fn32(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
+                 interpret: bool = False, psi: int | None = None):
+    """Jitted forward NTT on INTERLEAVED u32 input (B, 2n) -> (B, 2n).
+
+    Zero-copy staging entry: the host views its u64 buffer as interleaved
+    u32 (word64.to_interleaved_np — free) and the u64 split runs on-device;
+    the worksize-batched `_NTT` executor path uses this so host staging is
+    one DMA, not a numpy conversion pass."""
+    call = raw_fwd_call(n, q, tile_p, psi=psi, interpret=interpret)
+
+    def f(x32):
+        lo, hi = w.deinterleave_jnp(x32)
+        olo, ohi = call(lo, hi)
+        return w.interleave_jnp(olo, ohi)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def inv_ntt_fn32(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
+                 interpret: bool = False, psi: int | None = None):
+    """Jitted inverse NTT on interleaved u32 input (see fwd_ntt_fn32)."""
+    call = raw_inv_call(n, q, tile_p, psi=psi, interpret=interpret)
+
+    def f(x32):
+        lo, hi = w.deinterleave_jnp(x32)
+        olo, ohi = call(lo, hi)
+        return w.interleave_jnp(olo, ohi)
+
+    return jax.jit(f)
+
+
 def raw_fwd_call(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
                  psi: int | None = None, interpret: bool = False,
                  canonical: bool = True, data_bits: int | None = None):
@@ -384,6 +417,104 @@ def raw_inv_call(n: int, q: int, tile_p: int = DEFAULT_TILE_P,
     kernel = _inv_kernel(n, q, tile_p, plan, canonical)
     return _make_call(kernel, plan["n1"], plan["n2"], tile_p, _inv_tabs(plan),
                       interpret)
+
+
+def raw_fwd_tail_call(n: int, q: int, fix: int, tile_p: int = DEFAULT_TILE_P,
+                      psi: int | None = None, interpret: bool = False,
+                      data_bits: int | None = None):
+    """Fused keyswitch TAIL for one decomp modulus q_j: the reference's
+    always-running ntt2->ms->store chain (`keyswitch/ntt2.hpp`,
+    `keyswitch/ms.hpp:27-84`, `keyswitch/store.hpp`) as ONE kernel.
+
+    call(e_lo, e_hi, acc_lo, acc_hi, res_lo, res_hi, msf4) -> (out_lo, out_hi)
+      e:    (R, n) u32 pairs, R = comp*B rows (k-major) — the INTT2 output
+            e = d + qk/2, canonical under q_k (same planes for every j);
+      acc:  (R, n) LAZY u64 engine-MAC accumulators for q_j (< 2^56);
+      res:  (R, n) caller ciphertext rows to accumulate into;
+      msf4: (4,) uint32 [msf_lo, msf_hi, precon_lo, precon_hi] — the reduced
+            modswitch factor and its Harvey precon (SMEM scalars, traced so
+            msf changes don't recompile);
+      out:  (R, n) canonical result rows.
+
+    Fuses, per element and entirely in VMEM: the +fix prologue
+    (`intt2_redu.hpp:30-58` — e + fix < q_k + q_j < 2^53 rides the
+    wide-input transform unreduced), the forward NTT under q_j, the Barrett
+    of the transform output AND of the lazy accumulator, the ms.hpp
+    (acc + 4q - g) ReduceMod8, the modswitch multiply, and the host-style
+    accumulate-into-ciphertext with one conditional subtract
+    (`host/src/fpga.cpp:441-475`).  Unfused, each of these steps is its own
+    HBM-bound XLA pass over (R, n) u32-pair planes."""
+    plan = make_plan(n, q, _pick_n1(n), psi,
+                     data_bits if data_bits is not None else 53)
+    n1, n2 = plan["n1"], plan["n2"]
+    c64, q_barr = int(plan["c64"]), int(plan["q_barr"])
+    tabs = _fwd_tabs(plan, tile_p)
+
+    def kernel(e_lo_ref, e_hi_ref, g1_ref, c1_ref, uw_lo, uw_hi, up_lo,
+               up_hi, g2_ref, c2_ref, acc_lo_ref, acc_hi_ref, res_lo_ref,
+               res_hi_ref, msf_ref, olo_ref, ohi_ref):
+        # prologue: f = e + fix (constant add; stays < 2^53, unreduced)
+        flo3, fhi3 = w.add64((e_lo_ref[:], e_hi_ref[:]), fix)
+        vlo, vhi = _fwd_body(
+            flo3, fhi3, g1_ref, c1_ref,
+            uw_lo[:], uw_hi[:], up_lo[:], up_hi[:], g2_ref, c2_ref,
+            q, n1, n2, tile_p, c64, q_barr, canonical=False,
+        )
+        g = _barrett_canonical((vlo, vhi), q, q_barr)
+        acc = _barrett_canonical(
+            (acc_lo_ref[:], acc_hi_ref[:]), q, q_barr
+        )
+        # ms.hpp:66-83 — (acc + 4q - g) in [0, 5q) reduced via ReduceMod8
+        t1 = w.reduce_mod_factor(w.add64(w.sub64(acc, g), 4 * q), q, 8)
+        # modswitch multiply by the traced msf scalar (Harvey lazy + one
+        # conditional subtract == the exact static-Barrett result)
+        msf = (msf_ref[0], msf_ref[1])
+        mp = (msf_ref[2], msf_ref[3])
+        delta = w.cond_sub64(w.mul_mod_lazy(t1, msf, mp, q), q)
+        r_out = w.cond_sub64(
+            w.add64((res_lo_ref[:], res_hi_ref[:]), delta), q
+        )
+        olo_ref[:] = r_out[0]
+        ohi_ref[:] = r_out[1]
+
+    def call(e_lo, e_hi, acc_lo, acc_hi, res_lo, res_hi, msf4):
+        R = e_lo.shape[0]
+        assert R % tile_p == 0
+        grid = (R // tile_p,)
+        data_spec = pl.BlockSpec(
+            (tile_p, n1, n2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        full = [
+            pl.BlockSpec(
+                t.shape, (lambda nd: (lambda b: (0,) * nd))(t.ndim),
+                memory_space=pltpu.VMEM,
+            )
+            for t in tabs
+        ]
+        msf_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[data_spec, data_spec] + full
+            + [data_spec, data_spec, data_spec, data_spec, msf_spec],
+            out_specs=[data_spec, data_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((R, n1, n2), jnp.uint32),
+                jax.ShapeDtypeStruct((R, n1, n2), jnp.uint32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            e_lo.reshape(R, n1, n2), e_hi.reshape(R, n1, n2), *tabs,
+            acc_lo.reshape(R, n1, n2), acc_hi.reshape(R, n1, n2),
+            res_lo.reshape(R, n1, n2), res_hi.reshape(R, n1, n2),
+            msf4,
+        )
+        return out[0].reshape(R, n), out[1].reshape(R, n)
+
+    return call
 
 
 def raw_fwd_mac_call(n: int, q: int, L: int, comp: int = 2,

@@ -206,3 +206,20 @@ def test_run_choice_0_cpu_fallback(monkeypatch):
         hexl._set_worksize_NTT(1)
         with pytest.raises(RuntimeError):
             hexl._NTT(a, tabs.fwd, tabs.fwd_precon, q, 1024)
+
+
+def test_seal_bridge_patch_check():
+    """apply.sh --check: the vendored SEAL bridge patch must verify offline
+    (hunk arithmetic, recorded original-side excerpts, intel::hexl:: API
+    cross-check) — the reference proves its patch by applying it in CI
+    (`experimental/bridge-seal/README.md`); this is the no-network analog."""
+    import subprocess, os as _os
+
+    script = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "experimental", "bridge-seal", "check.py",
+    )
+    res = subprocess.run(
+        ["python", script], capture_output=True, text=True, timeout=60
+    )
+    assert res.returncode == 0, res.stderr
