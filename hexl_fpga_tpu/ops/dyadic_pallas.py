@@ -45,12 +45,22 @@ def _reduce_4q(x, q: int):
     return w.cond_sub64(w.cond_sub64(x, 2 * q), q)
 
 
-def _mul_mod_core(x, y, q: int):
-    """Reference MultMod body on pre-reduced operands (module docstring)."""
+def _mul_mod_core(x, y, q: int, approx: bool = False):
+    """Reference MultMod body on pre-reduced operands (module docstring).
+
+    approx=True uses the approximate mulhi for the Barrett quotient
+    (underestimates by <= 2, costing one extra conditional-subtract pair on
+    the remainder but dropping a full 32x32 partial product and the low-half
+    carry chain from the hot path).  Output is canonical either way, so the
+    two variants are bit-identical."""
     length = int(q).bit_length() - 2
     barr = ((1 << (length + 64)) // q) & ((1 << 64) - 1)
     p0, p1, p2, p3 = w.mul64_full(x, y)
     c1 = w._shift128_right_static(p0, p1, p2, p3, length)
+    if approx:
+        c3 = w.mulhi64_approx(c1, w.const_pair(barr))
+        c4 = w.sub64((p0, p1), w.mullo64(c3, q))
+        return _reduce_4q(c4, q)  # c4 < (2+e)q < 4q, e <= 2
     c3 = w.mulhi64(c1, w.const_pair(barr))
     c4 = w.sub64((p0, p1), w.mullo64(c3, q))
     return w.cond_sub64(c4, q)
@@ -61,7 +71,7 @@ def _mul_mod_ref(x, y, q: int):
     return _mul_mod_core(_reduce_4q(x, q), _reduce_4q(y, q), q)
 
 
-def _kernel(moduli):
+def _kernel(moduli, approx: bool = True):
     M = len(moduli)
 
     def kernel(l1, h1, l2, h2, olo, ohi):
@@ -71,15 +81,15 @@ def _kernel(moduli):
             x1 = _reduce_4q((l1[0, 1, m], h1[0, 1, m]), q)
             y0 = _reduce_4q((l2[0, 0, m], h2[0, 0, m]), q)
             y1 = _reduce_4q((l2[0, 1, m], h2[0, 1, m]), q)
-            out0 = _mul_mod_core(x0, y0, q)
-            out2 = _mul_mod_core(x1, y1, q)
+            out0 = _mul_mod_core(x0, y0, q, approx)
+            out2 = _mul_mod_core(x1, y1, q, approx)
             # modular Karatsuba for the cross term: x0y1 + x1y0 =
             # (x0+x1)(y0+y1) - x0y0 - x1y1 — one modular multiply instead of
             # two (the VPU multiply chain dominates; mod-q equality is exact
             # since every factor's MultMod is exact in its domain).
             s = _reduce_4q(w.add64(x0, x1), q)
             t = _reduce_4q(w.add64(y0, y1), q)
-            p = _mul_mod_core(s, t, q)
+            p = _mul_mod_core(s, t, q, approx)
             out1 = w.sub_mod(w.sub_mod(p, out0, q), out2, q)
             for k, (olo_k, ohi_k) in enumerate((out0, out1, out2)):
                 olo[0, k, m] = olo_k
@@ -92,7 +102,7 @@ class DyadicRunner:
     """Compiled dyadic-multiply for one (moduli, n) specialization."""
 
     def __init__(self, moduli, n: int, tile_rows: int = 32,
-                 interpret: bool = False):
+                 interpret: bool = False, approx_mulhi: bool = True):
         assert n % 128 == 0, "n must be a multiple of 128 (VPU lanes)"
         self.moduli = tuple(int(q) for q in moduli)
         self.n = n
@@ -112,7 +122,7 @@ class DyadicRunner:
             (1, 3, M, tr, 128), lambda b, r: (b, 0, 0, r, 0),
             memory_space=pltpu.VMEM,
         )
-        kernel = _kernel(self.moduli)
+        kernel = _kernel(self.moduli, approx_mulhi)
 
         def call(l1, h1, l2, h2):
             B = l1.shape[0]
@@ -165,5 +175,6 @@ class DyadicRunner:
 
 @functools.lru_cache(maxsize=64)
 def runner(moduli: tuple, n: int, tile_rows: int = 32,
-           interpret: bool = False) -> DyadicRunner:
-    return DyadicRunner(moduli, n, tile_rows, interpret)
+           interpret: bool = False,
+           approx_mulhi: bool = True) -> DyadicRunner:
+    return DyadicRunner(moduli, n, tile_rows, interpret, approx_mulhi)

@@ -213,12 +213,14 @@ class KeySwitchTpuContext:
         ]
 
         def mac(acc, val, i, k, j, q):
-            # Harvey lazy multiply with the precomputed key precon; terms in
-            # [0, 2q) accumulate WITHOUT reduction (sum of <= L+1 terms stays
-            # < 2^56 for q <= 2^52); one Barrett canonicalizes at the end.
+            # Harvey lazy multiply (APPROXIMATE quotient: one fewer 32x32
+            # partial product per term) with the precomputed key precon;
+            # terms in [0, 4q) accumulate WITHOUT reduction (sum of <= L+1
+            # terms stays < 28q < 2^58 for q <= 2^52); the downstream
+            # two-correction Barrett canonicalizes exactly.
             key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
             kp = (kp_lo[i, k, j, :], kp_hi[i, k, j, :])
-            prod = w.mul_mod_lazy(val, key, kp, q)
+            prod = w.mul_mod_lazy_approx(val, key, kp, q)
             return prod if acc is None else w.add64(acc, prod)
 
         # the stacked INTT1 outputs feed every engine UNREDUCED (the

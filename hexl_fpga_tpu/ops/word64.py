@@ -200,6 +200,24 @@ def mulhi64(a, b) -> U64Pair:
     return r2, r3
 
 
+def mulhi64_approx(a, b) -> U64Pair:
+    """High 64 bits of a*b UNDERestimating by at most 2.
+
+    Drops the alo*blo partial product and the whole low-half carry chain:
+    the only effect on the top 64 bits is the carry out of
+    (h0 + l1 + l2) — at most 2 — which the caller absorbs with extra
+    conditional subtracts (a Barrett quotient short by e costs e*q on the
+    remainder).  3 of 4 32x32 multiplies and none of the low-half adds."""
+    alo, ahi = _as_pair(a)
+    blo, bhi = _as_pair(b)
+    _, h1 = mul32(alo, bhi)
+    _, h2 = mul32(ahi, blo)
+    l3, h3 = mul32(ahi, bhi)
+    s2, d1 = _addc(h1, h2)
+    s2, d2 = _addc(s2, l3)
+    return s2, h3 + d1 + d2
+
+
 # ---------------------------------------------------------------------------
 # modular primitives (static or traced modulus)
 # ---------------------------------------------------------------------------
@@ -222,6 +240,17 @@ def mul_mod_lazy(x, w, w_precon, q) -> U64Pair:
     when x < 2^63-ish; see MultiplyUIntModLazy<64>,
     `tests/test_utils/ntt.hpp:86-101`)."""
     Q = mulhi64(x, w_precon)
+    return sub64(mullo64(w, x), mullo64(Q, q))
+
+
+def mul_mod_lazy_approx(x, w, w_precon, q) -> U64Pair:
+    """(x * w) mod q in [0, 4q): the Harvey lazy multiply with the
+    APPROXIMATE quotient (mulhi64_approx underestimates by <= 2, widening
+    the output window from 2q to 4q).  Only for consumers that fully
+    Barrett-reduce the (possibly accumulated) result — e.g. the keyswitch
+    MAC chain, whose <= 7-term sum stays < 28q < 2^58 and feeds a
+    two-correction Barrett."""
+    Q = mulhi64_approx(x, w_precon)
     return sub64(mullo64(w, x), mullo64(Q, q))
 
 

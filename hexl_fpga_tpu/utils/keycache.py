@@ -1,0 +1,56 @@
+"""Pinned, checksum-guarded device-upload cache for switch-key sets.
+
+The reference caches packed keys per host pointer forever
+(`host/src/fpga.cpp:1158-1165`); here the cache is bounded LRU, pins the
+source arrays (so a recycled CPython id can never alias a dead entry), and
+verifies a sampled content checksum on every hit (in-place mutation of a
+cached key buffer — the one hazard pointer-keying cannot see — forces a
+re-upload instead of stale results).  Shared by the single-chip keyswitch
+context and the sharded path.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Callable, Sequence
+
+import numpy as np
+
+
+def sampled_checksum(arrs: Sequence[np.ndarray]) -> int:
+    """Cheap content sample: a fixed stride through each buffer plus the
+    last element (full hashes would cost ~ms per call on 22 MB key sets)."""
+    h = 0
+    for a in arrs:
+        flat = a.reshape(-1)
+        s = max(1, flat.size // 64)
+        h ^= hash((flat[::s].tobytes(), flat[-1].item()))
+    return h
+
+
+class PinnedKeyCache:
+    """LRU of staged key uploads keyed by source-array identity."""
+
+    def __init__(self, slots: int, stage: Callable):
+        self.slots = slots
+        self.stage = stage  # list[np.ndarray] -> staged device value
+        self._cache: OrderedDict = OrderedDict()
+
+    def get(self, k_switch_keys):
+        src = [np.asarray(kv, dtype=np.uint64) for kv in k_switch_keys]
+        kid = tuple(id(a) for a in src)
+        entry = self._cache.get(kid)
+        if entry is not None:
+            pinned, csum, hit = entry
+            same = len(pinned) == len(src) and all(
+                p is s for p, s in zip(pinned, src)
+            )
+            if same and csum == sampled_checksum(src):
+                self._cache.move_to_end(kid)
+                return hit
+            del self._cache[kid]  # mutated or aliased: re-upload
+        hit = self.stage(src)
+        self._cache[kid] = (src, sampled_checksum(src), hit)
+        while len(self._cache) > self.slots:
+            self._cache.popitem(last=False)
+        return hit

@@ -83,6 +83,29 @@ def test_dist_fwd_ntt_mxu(devices, n_shards):
     np.testing.assert_array_equal(out, golden.fwd_ntt(a, q))
 
 
+@pytest.mark.parametrize("n_shards", [2, pytest.param(8, marks=pytest.mark.heavy)])
+def test_dist_inv_ntt_mxu_roundtrip(devices, n_shards):
+    """MXU-tier coefficient-sharded INVERSE NTT: bit-exact vs golden, and
+    the fwd o inv round trip chains WITHOUT resharding (the inverse's
+    output placement equals the forward's input placement)."""
+    n, q = 1024, int(nt.generate_primes(1, 51, 1024)[0])
+    mesh = Mesh(np.array(devices[:n_shards]), ("sp",))
+    fwd = sharded.dist_fwd_ntt_mxu(mesh, "sp", n, q)
+    inv = sharded.dist_inv_ntt_mxu(mesh, "sp", n, q)
+    rng = np.random.default_rng(20 + n_shards)
+    a = rng.integers(0, q, size=(3, n), dtype=np.uint64)
+    y = golden.fwd_ntt(a, q)
+    # inverse alone vs golden
+    lo, hi = w.to_pair_np(y)
+    olo, ohi = inv(jnp.asarray(lo), jnp.asarray(hi))
+    out = w.from_pair_np(np.asarray(olo), np.asarray(ohi))
+    np.testing.assert_array_equal(out, a)
+    # chained INTT -> NTT on device arrays, no host round trip / reshard
+    olo2, ohi2 = fwd(olo, ohi)
+    out2 = w.from_pair_np(np.asarray(olo2), np.asarray(ohi2))
+    np.testing.assert_array_equal(out2, y)
+
+
 @pytest.mark.heavy
 def test_limb_sharded_keyswitch_mxu_engines(devices):
     """ShardedKeySwitch with the fused-MXU Pallas engine transforms (the

@@ -145,3 +145,27 @@ def test_jit_compatible():
     got = w.from_pair_np(np.asarray(lo), np.asarray(hi))
     want = [(int(x) * int(y)) % q for x, y in zip(a, b)]
     assert list(map(int, got)) == want
+
+
+def test_mulhi64_approx_error_bound():
+    """mulhi64_approx underestimates the exact high word by at most 2 (the
+    dropped low-half carry), the bound the dyadic approx-Barrett path's
+    extra conditional subtracts rely on."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 1 << 64, size=512, dtype=np.uint64)
+    b = rng.integers(0, 1 << 64, size=512, dtype=np.uint64)
+    # include adversarial carry-heavy operands
+    a[:8] = [0xFFFFFFFFFFFFFFFF, 0xFFFFFFFF00000000, 0x00000000FFFFFFFF,
+             0x8000000080000000, 0xFFFFFFFFFFFFFFFE, 1, 0, 0x123456789ABCDEF0]
+    b[:8] = [0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF, 0xFFFFFFFF00000001,
+             0x7FFFFFFFFFFFFFFF, 2, 0xFFFFFFFFFFFFFFFF, 5, 0xFEDCBA9876543210]
+    al, ah = w.to_pair_np(a)
+    bl, bh = w.to_pair_np(b)
+    gl, gh = w.mulhi64_approx((jnp.asarray(al), jnp.asarray(ah)),
+                              (jnp.asarray(bl), jnp.asarray(bh)))
+    got = w.from_pair_np(np.asarray(gl), np.asarray(gh)).astype(object)
+    want = [(int(x) * int(y)) >> 64 for x, y in zip(a, b)]
+    diff = [int(wv) - int(gv) for wv, gv in zip(want, got)]
+    assert all(0 <= d <= 2 for d in diff), max(diff)
