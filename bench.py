@@ -192,7 +192,9 @@ def bench_keyswitch(extras):
     )
 
     # --- chained device-resident handles (one host fetch per chain) ------
-    depth = int(os.environ.get("BENCH_CHAIN_DEPTH", 16))
+    # depth 64 ~ a bootstrapping-scale rotation chain: long enough that the
+    # single end-of-chain fetch amortizes and the rate is compute-dominated
+    depth = int(os.environ.get("BENCH_CHAIN_DEPTH", 64))
     h_t = ctx.stage_target(ts)
     cur = ctx.stage_ciphertext(rs)
     cur = ctx.run_device(cur, h_t, vec.key_vectors, vec.modswitch_factors)
