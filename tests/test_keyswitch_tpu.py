@@ -102,3 +102,47 @@ def test_keyswitch_fused_mac_engine(vec):
         vec.input, vec.t_target_iter_ptr, vec.key_vectors, vec.modswitch_factors
     )
     np.testing.assert_array_equal(got, vec.expected_output)
+
+
+def test_device_resident_handle_chain(vec):
+    """stage_ciphertext/stage_target + run_device: the chained-handle path
+    must match run() exactly, including a 2-deep chain with no host
+    round trip between ops."""
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
+        tile_p=2, interpret=True,
+    )
+    h_ct = ctx.stage_ciphertext(vec.input[None])
+    h_t = ctx.stage_target(vec.t_target_iter_ptr[None])
+    out1 = ctx.run_device(h_ct, h_t, vec.key_vectors, vec.modswitch_factors)
+    np.testing.assert_array_equal(out1.to_host()[0], vec.expected_output)
+    # chain: the output handle feeds the next op's accumulator directly
+    out2 = ctx.run_device(out1, h_t, vec.key_vectors, vec.modswitch_factors)
+    ref2 = ctx.run(vec.expected_output, vec.t_target_iter_ptr,
+                   vec.key_vectors, vec.modswitch_factors)
+    np.testing.assert_array_equal(out2.to_host()[0], ref2)
+    # host arrays are accepted in place of handles (staged zero-copy)
+    out3 = ctx.run_device(vec.input[None], vec.t_target_iter_ptr[None],
+                          vec.key_vectors, vec.modswitch_factors)
+    np.testing.assert_array_equal(out3.to_host()[0], vec.expected_output)
+
+
+def test_interleaved_dispatch_fast_path(vec):
+    """dispatch_batch32 (zero-copy staging + on-device u64 split) must be
+    bit-identical to the pair-plane dispatch_batch."""
+    from hexl_fpga_tpu.ops import word64 as w
+
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
+        tile_p=2, interpret=True,
+    )
+    rs = np.stack([vec.input] * 2)
+    ts = np.stack([vec.t_target_iter_ptr] * 2)
+    out32 = ctx.dispatch_batch32(rs, ts, vec.key_vectors,
+                                 vec.modswitch_factors)
+    got = w.from_interleaved_np(np.asarray(out32)).reshape(2, -1)
+    olo, ohi = ctx.dispatch_batch(rs, ts, vec.key_vectors,
+                                  vec.modswitch_factors)
+    want = w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(2, -1)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got[0], vec.expected_output.ravel())

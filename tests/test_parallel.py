@@ -157,3 +157,31 @@ def test_limb_sharded_keyswitch(devices, mp, dp):
             vec.moduli, vec.key_vectors, vec.modswitch_factors, None,
         )
         np.testing.assert_array_equal(got[b], want)
+
+
+def test_sharded_keyswitch_comm_report_and_key_cache(devices):
+    """The sharded path's collective accounting and its upload-once key
+    cache (engine-sliced stores: no full-tensor psum)."""
+    n, L, K = 64, 3, 4
+    from hexl_fpga_tpu.utils import vectors as V
+
+    vec = V.make_keyswitch_vector(n, L, K, seed=3, modulus_bits=40)
+    mesh = Mesh(np.array(devices[:2]), ("mp",))
+    ks = sharded.ShardedKeySwitch(mesh, "mp", None, n, L, K, vec.moduli)
+    rep = ks.comm_report(batch=4)
+    plane = 4 * 2 * n * 4 * 2
+    assert rep["full_tensor_psum_bytes"] == 0
+    assert rep["e_broadcast_psum_bytes"] == plane
+    assert rep["output_slice_gather_bytes"] == L * plane
+    rs = np.zeros((2, 2 * L * n), dtype=np.uint64)
+    ts = np.stack([vec.t_target_iter_ptr] * 2)
+    got = ks.run(rs, ts, vec.key_vectors, vec.modswitch_factors)
+    want = golden.keyswitch(
+        rs[0], ts[0], n, L, K, L + 1, 2, vec.moduli, vec.key_vectors,
+        vec.modswitch_factors, None,
+    )
+    np.testing.assert_array_equal(got[0], want)
+    # second run with the same key objects: cache hit (same staged arrays)
+    k1 = ks._staged_keys(vec.key_vectors)
+    k2 = ks._staged_keys(vec.key_vectors)
+    assert k1[0] is k2[0] and k1[1] is k2[1]
