@@ -354,3 +354,174 @@ class CkksContext:
         d01 = np.stack([rot[0], np.zeros_like(rot[0])])
         out = self._keyswitch_accumulate(d01, rot[1], self._galois_keys_for(g))
         return Ciphertext(data=out, level=ct.level, scale=ct.scale)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident evaluation (rotation chains without host round trips)
+# ---------------------------------------------------------------------------
+#
+# The Galois automorphism tau_g is a PURE PERMUTATION of NTT-domain values:
+# position p of the golden NTT layout holds the evaluation at
+# psi^(2*bitrev(p)+1), and tau_g maps evaluation exponents e -> g*e mod 2n,
+# so NTT(tau_g m)[p] = NTT(m)[sigma(p)] with
+# sigma(p) = e_inv(g * (2*bitrev(p)+1) mod 2n).  A rotation therefore
+# becomes one device gather + the keyswitch — no coefficient-domain round
+# trip (the host path's per-limb INTT/NTT pair disappears), and a chain of
+# rotations keeps the ciphertext on the accelerator with ONE host fetch at
+# the end.  This is the production pattern the reference cannot express
+# (every FPGA op round-trips PCIe: `host/src/fpga.cpp:1517-1545`).
+
+
+@dataclass
+class DeviceCkksCiphertext:
+    """(2, level+1, 2n)-interleaved u32 NTT-domain ciphertext on device."""
+
+    data32: "object"  # jnp array
+    level: int
+    scale: float
+
+
+def _ntt_galois_sigma(n: int, g: int) -> np.ndarray:
+    """sigma with NTT(tau_g m) = NTT(m)[sigma] (verified property test)."""
+    b = n.bit_length() - 1
+    br = np.zeros(n, dtype=np.int64)
+    for p in range(n):
+        br[p] = int(bin(p)[2:].zfill(b)[::-1], 2)
+    e = 2 * br + 1                       # evaluation exponent per position
+    e_inv = np.zeros(2 * n, dtype=np.int64)
+    e_inv[e] = np.arange(n)
+    return e_inv[(g * e) % (2 * n)]
+
+
+class DeviceCkksEvaluator:
+    """Device-resident rotate/conjugate/add/sub for a CkksContext.
+
+    Built on keyswitch_tpu (n >= 1024): the keyswitch runs the fused MXU
+    kernels; rotation keys ride the context's pinned device cache."""
+
+    def __init__(self, ctx: "CkksContext", interpret: bool | None = None):
+        import jax
+
+        assert ctx.n >= 1024, "device evaluator needs the MXU tier (n >= 1024)"
+        self.ctx = ctx
+        if interpret is None:
+            interpret = jax.devices()[0].platform == "cpu"
+        self.interpret = interpret
+        self._ks = {}
+        self._rot_fn = {}
+        self._addsub_fn = {}
+        self._sigma32 = {}
+
+    def _ks_ctx(self, nl: int):
+        if nl not in self._ks:
+            from ..ops import keyswitch_tpu
+
+            self._ks[nl] = keyswitch_tpu.get_context(
+                self.ctx.n, nl, self.ctx.K, nl + 1, 2, self.ctx.moduli,
+                self.ctx.twiddle_factors, interpret=self.interpret,
+            )
+        return self._ks[nl]
+
+    def _sigma_interleaved(self, g: int):
+        import jax.numpy as jnp
+
+        if g not in self._sigma32:
+            s = _ntt_galois_sigma(self.ctx.n, g)
+            idx = np.empty(2 * self.ctx.n, dtype=np.int32)
+            idx[0::2] = 2 * s
+            idx[1::2] = 2 * s + 1
+            self._sigma32[g] = jnp.asarray(idx)
+        return self._sigma32[g]
+
+    def stage(self, ct: Ciphertext) -> DeviceCkksCiphertext:
+        import jax.numpy as jnp
+
+        from ..ops import word64 as w
+
+        return DeviceCkksCiphertext(
+            jnp.asarray(w.to_interleaved_np(ct.data)), ct.level, ct.scale
+        )
+
+    def to_host(self, h: DeviceCkksCiphertext) -> Ciphertext:
+        from ..ops import word64 as w
+
+        data = w.from_interleaved_np(np.asarray(h.data32)).reshape(
+            2, h.level + 1, self.ctx.n
+        )
+        return Ciphertext(data=data, level=h.level, scale=h.scale)
+
+    def _rotation_fn(self, nl: int):
+        """One jit: NTT-domain gather + keyswitch-accumulate."""
+        import jax
+        import jax.numpy as jnp
+
+        if nl not in self._rot_fn:
+            ks = self._ks_ctx(nl)
+
+            def fn(data32, idx32, klo, khi, plo, phi, msf4):
+                rot = data32[:, :, idx32]            # (2, nl, 2n)
+                t32 = rot[1][None]                   # (1, nl, 2n)
+                r32 = jnp.stack(
+                    [rot[0], jnp.zeros_like(rot[0])]
+                )[None]                              # (1, 2, nl, 2n)
+                return ks._build32(
+                    t32, r32, klo, khi, plo, phi, msf4
+                )[0]
+
+            self._rot_fn[nl] = jax.jit(fn)
+        return self._rot_fn[nl]
+
+    def _apply_galois(self, h: DeviceCkksCiphertext, g: int):
+        nl = h.level + 1
+        ks = self._ks_ctx(nl)
+        keys = ks.device_keys(self.ctx._galois_keys_for(g))
+        msf4 = ks.prepare_msf4(self.ctx.modswitch_factors)
+        out32 = self._rotation_fn(nl)(
+            h.data32, self._sigma_interleaved(g), *keys, msf4
+        )
+        return DeviceCkksCiphertext(out32, h.level, h.scale)
+
+    def rotate(self, h: DeviceCkksCiphertext, r: int) -> DeviceCkksCiphertext:
+        """Left-rotate slots by r, fully on device (gather + keyswitch)."""
+        return self._apply_galois(h, pow(5, r, 2 * self.ctx.n))
+
+    def conjugate(self, h: DeviceCkksCiphertext) -> DeviceCkksCiphertext:
+        return self._apply_galois(h, 2 * self.ctx.n - 1)
+
+    def _addsub(self, h1, h2, sub: bool):
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import word64 as w
+
+        assert h1.level == h2.level and abs(h1.scale - h2.scale) < 1e-3
+        nl = h1.level + 1
+        key = (nl, sub)
+        if key not in self._addsub_fn:
+            moduli = self.ctx.moduli
+
+            def fn(a32, b32):
+                alo, ahi = w.deinterleave_jnp(a32)
+                blo, bhi = w.deinterleave_jnp(b32)
+                outs_lo, outs_hi = [], []
+                for j in range(nl):
+                    q = moduli[j]
+                    a = (alo[:, j], ahi[:, j])
+                    b = (blo[:, j], bhi[:, j])
+                    o = w.sub_mod(a, b, q) if sub else w.add_mod(a, b, q)
+                    outs_lo.append(o[0])
+                    outs_hi.append(o[1])
+                return w.interleave_jnp(
+                    jnp.stack(outs_lo, 1), jnp.stack(outs_hi, 1)
+                )
+
+            self._addsub_fn[key] = jax.jit(fn)
+        return DeviceCkksCiphertext(
+            self._addsub_fn[key](h1.data32, h2.data32), h1.level, h1.scale
+        )
+
+    def add(self, h1, h2) -> DeviceCkksCiphertext:
+        return self._addsub(h1, h2, sub=False)
+
+    def sub(self, h1, h2) -> DeviceCkksCiphertext:
+        return self._addsub(h1, h2, sub=True)

@@ -213,15 +213,27 @@ class KeySwitchTpuContext:
         ]
 
         def mac(acc, val, i, k, j, q):
-            # Harvey lazy multiply (APPROXIMATE quotient: one fewer 32x32
-            # partial product per term) with the precomputed key precon;
-            # terms in [0, 4q) accumulate WITHOUT reduction (sum of <= L+1
-            # terms stays < 28q < 2^58 for q <= 2^52); the downstream
-            # two-correction Barrett canonicalizes exactly.
+            # Harvey lazy multiply with (a) the APPROXIMATE quotient (one
+            # fewer 32x32 partial product per term) and (b) the Q*q
+            # subtraction DEFERRED across the whole sum: accumulate
+            # sum(w_i*x_i mod 2^64) and sum(Q_i) separately and subtract
+            # (sum Q)*q ONCE per engine-component (mac_close) — exact
+            # because the true value sum(w_i x_i - Q_i q) is a sum of
+            # [0, 4q) terms, < 28q < 2^58 for q <= 2^52, so the mod-2^64
+            # arithmetic is lossless.  Replaces 10 32x32 partials per term
+            # with 6 (+3 once at close); the downstream two-correction
+            # Barrett canonicalizes exactly.
             key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
             kp = (kp_lo[i, k, j, :], kp_hi[i, k, j, :])
-            prod = w.mul_mod_lazy_approx(val, key, kp, q)
-            return prod if acc is None else w.add64(acc, prod)
+            Q = w.mulhi64_approx(val, kp)
+            wx = w.mullo64(key, val)
+            if acc is None:
+                return (wx, Q)
+            return (w.add64(acc[0], wx), w.add64(acc[1], Q))
+
+        def mac_close(acc, q):
+            """(sum wx mod 2^64, sum Q) -> the lazy u64 sum < 28q."""
+            return w.sub64(acc[0], w.mullo64(acc[1], q))
 
         # the stacked INTT1 outputs feed every engine UNREDUCED (the
         # transforms are wide-input; see __init__): one concat, reused by
@@ -231,7 +243,7 @@ class KeySwitchTpuContext:
         stack_hi = jnp.concatenate([c[1] for c in coeff])
 
         def engine_acc(j, q, mac_call, skip_t_term):
-            """acc[k] (lazy u64 reps, < (L+1)*2q) for engine modulus j."""
+            """acc[k] (lazy u64 reps, < 28q < 2^58) for engine modulus j."""
             if self.fused_mac and mac_call is None:
                 # L == 1 decomp engine: only the identity-limb term exists
                 acc = [None] * comp
@@ -241,7 +253,10 @@ class KeySwitchTpuContext:
                     keys_lo[:, :, j, :], keys_hi[:, :, j, :],
                     kp_lo[:, :, j, :], kp_hi[:, :, j, :],
                 )
-                acc = [(alo[k], ahi[k]) for k in range(comp)]
+                # kernel output is an already-closed lazy sum: carry it as
+                # the wx accumulator with a zero deferred quotient
+                z = jnp.zeros_like(alo[0])
+                acc = [((alo[k], ahi[k]), (z, z)) for k in range(comp)]
             else:
                 vlo, vhi = self._transform(self._fwd, j, stack_lo, stack_hi)
                 acc = [None] * comp
@@ -256,7 +271,7 @@ class KeySwitchTpuContext:
                 # canonical inputs — its MAC term comes from t_target
                 for k in range(comp):
                     acc[k] = mac(acc[k], tp(j), j, k, j, q)
-            return acc
+            return [mac_close(a, q) for a in acc]
 
         # ---- special engine first (`dyadmult.hpp` engine K-1 + INTT2) ----
         acc_sp = engine_acc(

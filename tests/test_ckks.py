@@ -113,3 +113,50 @@ def test_multiply_two_ciphertexts(ctx):
     back = ctx.decrypt(ct)
     rel_err = np.max(np.abs(back - z1 * z2) / np.abs(z1 * z2))
     assert rel_err < 1e-3
+
+
+def test_device_evaluator_rotate_matches_host(ctx):
+    """Device-resident rotation (NTT-domain permutation gather + fused-MXU
+    keyswitch, no host round trip) must equal the host path's coefficient-
+    domain automorphism + keyswitch bit-for-bit."""
+    rng = np.random.default_rng(5)
+    z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)
+    ct = ctx.encrypt(z)
+    ev = ckks.DeviceCkksEvaluator(ctx, interpret=True)
+    h = ev.stage(ct)
+    got = ev.to_host(ev.rotate(h, 3))
+    want = ctx.rotate(ct, 3)
+    np.testing.assert_array_equal(got.data, want.data)
+    assert got.level == want.level and got.scale == want.scale
+
+
+def test_device_evaluator_chain(ctx):
+    """rotate -> rotate -> add chain entirely on device, one final fetch;
+    decrypts to the expected rotated slots."""
+    rng = np.random.default_rng(6)
+    z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)
+    ct = ctx.encrypt(z)
+    ev = ckks.DeviceCkksEvaluator(ctx, interpret=True)
+    h = ev.stage(ct)
+    h1 = ev.rotate(h, 1)
+    h2 = ev.rotate(h1, 1)          # net rotation by 2 (key for r=1 reused)
+    hs = ev.add(h2, h1)            # rot2(z) + rot1(z)
+    back = ctx.decrypt(ev.to_host(hs))
+    want = np.roll(z, -2) + np.roll(z, -1)
+    assert np.max(np.abs(back - want)) < 1e-2
+
+
+def test_ntt_galois_sigma_property():
+    """NTT(tau_g m) == NTT(m)[sigma] for the derived permutation."""
+    from hexl_fpga_tpu.ops import golden, nt as _nt, twiddles
+
+    n = 64
+    q = int(_nt.generate_primes(1, 30, n)[0])
+    tabs = twiddles.ntt_tables(n, q)
+    rng = np.random.default_rng(2)
+    m = rng.integers(0, q, size=n, dtype=np.uint64)
+    for g in (3, 5, 2 * n - 1):
+        rot = ckks._negacyclic_automorphism([int(v) for v in m], g, n, q)
+        lhs = golden.fwd_ntt(np.array(rot, dtype=np.uint64), q, tabs)
+        rhs = golden.fwd_ntt(m, q, tabs)[ckks._ntt_galois_sigma(n, g)]
+        np.testing.assert_array_equal(lhs, rhs)
