@@ -39,6 +39,32 @@ import time
 BASELINE_NTT_PER_SEC = 3.6e4  # reference CU upper bound (BASELINE.md)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (same dir the tests/dryrun warm): a
+    driver re-run skips the 40-90 s first-compiles when the programs are
+    unchanged.  Opt out with HEXL_TPU_NO_COMPILE_CACHE=1."""
+    if os.environ.get("HEXL_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "HEXL_TPU_COMPILE_CACHE_DIR",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
