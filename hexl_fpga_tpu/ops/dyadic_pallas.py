@@ -143,6 +143,29 @@ class DyadicRunner:
 
         self.device_call = jax.jit(call)
 
+        def call32(x1, x2):
+            """Interleaved-u32 entry: (B, 2, M, 2n) each -> (B, 3, M, 2n).
+
+            Zero-copy staging: the host views its u64 operands as
+            interleaved u32 (free) and the u64 split/merge runs on-device."""
+            l1, h1 = w.deinterleave_jnp(x1)
+            l2, h2 = w.deinterleave_jnp(x2)
+            B = l1.shape[0]
+            shape = (B, 2, self.M, self.n // 128, 128)
+            olo, ohi = call(l1.reshape(shape), h1.reshape(shape),
+                            l2.reshape(shape), h2.reshape(shape))
+            o3 = (B, 3, self.M, self.n)
+            return w.interleave_jnp(olo.reshape(o3), ohi.reshape(o3))
+
+        self.device_call32 = jax.jit(call32)
+
+    def dispatch32(self, op1, op2):
+        """Zero-copy stage + dispatch; returns the (B, 3, M, 2n) interleaved
+        device array (view the fetched bytes with from_interleaved_np)."""
+        x1 = w.to_interleaved_np(np.asarray(op1, dtype=np.uint64))
+        x2 = w.to_interleaved_np(np.asarray(op2, dtype=np.uint64))
+        return call_with_retry(self.device_call32, x1, x2)
+
     def _stage(self, op):
         B = op.shape[0]
         lo, hi = w.to_pair_np(np.asarray(op, dtype=np.uint64))

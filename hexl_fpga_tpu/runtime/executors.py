@@ -153,9 +153,9 @@ class JaxExecutor(_Base):
                     for q in np.asarray(batch[0].args["moduli"])[:M]
                 )
                 r = dyadic_pallas.runner(mods, n)
-                lo, hi = r.dispatch(op1, op2)
-                _start_host_copy(lo)
-                _start_host_copy(hi)
+                out32 = r.dispatch32(op1, op2)
+                _start_host_copy(out32)
+                lo = hi = None
                 reshape3 = (len(batch), 3, M, n)
             else:
                 moduli = np.stack(
@@ -169,9 +169,14 @@ class JaxExecutor(_Base):
         from ..ops import word64 as _w
 
         def finalize():
-            out = _w.from_pair_np(np.asarray(lo), np.asarray(hi))
-            if reshape3 is not None:
-                out = out.reshape(reshape3)
+            if lo is None:
+                out = _w.from_interleaved_np(np.asarray(out32)).reshape(
+                    reshape3
+                )
+            else:
+                out = _w.from_pair_np(np.asarray(lo), np.asarray(hi))
+                if reshape3 is not None:
+                    out = out.reshape(reshape3)
             for b, item in enumerate(batch):
                 np.copyto(
                     item.args["results"], out[b].reshape(item.args["results"].shape)

@@ -60,3 +60,19 @@ def test_dyadic_pallas_dispatch_matches_run():
     r = dyadic_pallas.runner(tuple(moduli), n, interpret=True)
     lo, hi = r.dispatch(op1, op2)
     np.testing.assert_array_equal(r._unstage((lo, hi)), r.run(op1, op2))
+
+
+def test_dispatch32_interleaved_matches_run():
+    """Zero-copy interleaved entry: bit-identical to the pair-plane path."""
+    from hexl_fpga_tpu.ops import word64 as w
+
+    n, M, B = 256, 3, 2
+    moduli = tuple(int(q) for q in nt.generate_primes(M, 30, n))
+    r = dyadic_pallas.DyadicRunner(moduli, n, interpret=True)
+    rng = np.random.default_rng(9)
+    op1 = rng.integers(0, 2**30, size=(B, 2, M, n), dtype=np.uint64)
+    op2 = rng.integers(0, 2**30, size=(B, 2, M, n), dtype=np.uint64)
+    out32 = r.dispatch32(op1, op2)
+    got = w.from_interleaved_np(np.asarray(out32)).reshape(B, 3, M, n)
+    want = r.run(op1, op2)
+    np.testing.assert_array_equal(got, want)
