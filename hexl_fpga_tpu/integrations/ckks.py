@@ -525,3 +525,124 @@ class DeviceCkksEvaluator:
 
     def sub(self, h1, h2) -> DeviceCkksCiphertext:
         return self._addsub(h1, h2, sub=True)
+
+
+# -- device-resident multiply / relinearize / rescale -----------------------
+#
+# With these, the full CKKS evaluation pipeline (multiply -> relinearize ->
+# rescale -> rotate -> add) runs on the accelerator end to end; the host
+# sees ciphertexts only at encrypt/decrypt.
+
+
+def _evaluator_multiply_relin(self, h1: DeviceCkksCiphertext,
+                              h2: DeviceCkksCiphertext):
+    """h1 * h2 -> relinearized 2-component handle (dyadic kernel + relin
+    keyswitch, both on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import dyadic_pallas
+
+    assert h1.level == h2.level
+    nl = h1.level + 1
+    moduli = tuple(self.ctx.moduli[:nl])
+    runner = dyadic_pallas.runner(moduli, self.ctx.n,
+                                  interpret=self.interpret)
+    ks = self._ks_ctx(nl)
+    keys = ks.device_keys(self.ctx.relin_keys)
+    msf4 = ks.prepare_msf4(self.ctx.modswitch_factors)
+    key = ("mulrelin", nl)
+    if key not in self._rot_fn:
+
+        def fn(a32, b32, klo, khi, plo, phi, m4):
+            d32 = runner.device_call32(a32[None], b32[None])[0]  # (3, nl, 2n)
+            t32 = d32[2][None]                                   # d2
+            r32 = d32[0:2][None]                                 # (d0, d1)
+            return ks._build32(t32, r32, klo, khi, plo, phi, m4)[0]
+
+        self._rot_fn[key] = jax.jit(fn)
+    out32 = self._rot_fn[key](h1.data32, h2.data32, *keys, msf4)
+    return DeviceCkksCiphertext(out32, h1.level, h1.scale * h2.scale)
+
+
+def _evaluator_rescale(self, h: DeviceCkksCiphertext):
+    """Exact RNS rescale by the last active modulus, entirely on device:
+    per limb INTT -> (c_j - c_last) * q_last^{-1} mod q_j -> NTT.
+
+    The subtraction rides the wide-input trick: d = c_j + C*q_j - c_last
+    (C*q_j > q_last keeps it nonnegative, d ≡ c_j - c_last mod q_j,
+    d < 2^54) feeds the Harvey lazy multiply by q_last^{-1} directly —
+    exact for any u64 representative."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import nt as _nt, ntt_mxu_pallas, word64 as w
+
+    nl = h.level + 1
+    assert nl >= 2, "rescale needs at least two active moduli"
+    key = ("rescale", nl)
+    if key not in self._rot_fn:
+        n = self.ctx.n
+        moduli = self.ctx.moduli
+        q_last = moduli[nl - 1]
+        ks = self._ks_ctx(self.ctx.L)  # reuse per-modulus transforms' psi
+        inv_calls = ks._inv  # canonical INTT per modulus (full K list)
+        fwd_calls = [
+            ntt_mxu_pallas.raw_fwd_call(
+                n, moduli[j], ks.tile_p, psi=ks.psi[j],
+                interpret=self.interpret, canonical=True, data_bits=53,
+            )
+            for j in range(nl - 1)
+        ]
+        consts = []
+        for j in range(nl - 1):
+            q = moduli[j]
+            inv_qlast = _nt.inverse_mod(q_last % q, q)
+            C = q_last // q + 1
+            consts.append((q, inv_qlast,
+                           _nt.barrett_factor(inv_qlast, 64, q), C * q))
+
+        def fn(data32):
+            lo, hi = w.deinterleave_jnp(data32)      # (2, nl, n)
+            outs_lo, outs_hi = [], []
+            # one INTT call per modulus over both components (rows 2)
+            coeff = [
+                _pad2(inv_calls[j], lo[:, j], hi[:, j], ks.tile_p)
+                for j in range(nl)
+            ]
+            last = coeff[nl - 1]
+            for j in range(nl - 1):
+                q, inv_q, prec, cq = consts[j]
+                d = w.sub64(w.add64(coeff[j], cq), last)
+                v = w.cond_sub64(
+                    w.mul_mod_lazy(d, inv_q, prec, q), q
+                )
+                o = _pad2(fwd_calls[j], v[0], v[1], ks.tile_p)
+                outs_lo.append(o[0])
+                outs_hi.append(o[1])
+            return w.interleave_jnp(
+                jnp.stack(outs_lo, 1), jnp.stack(outs_hi, 1)
+            )
+
+        self._rot_fn[key] = jax.jit(fn)
+    out32 = self._rot_fn[key](h.data32)
+    return DeviceCkksCiphertext(
+        out32, h.level - 1, h.scale / self.ctx.moduli[nl - 1]
+    )
+
+
+def _pad2(call, lo, hi, tile_p):
+    """Run a raw transform call on (R, n) rows with tile_p padding."""
+    import jax.numpy as jnp
+
+    R = lo.shape[0]
+    pad = (-R) % tile_p
+    if pad:
+        lo = jnp.concatenate([lo, jnp.zeros((pad,) + lo.shape[1:], lo.dtype)])
+        hi = jnp.concatenate([hi, jnp.zeros((pad,) + hi.shape[1:], hi.dtype)])
+    olo, ohi = call(lo, hi)
+    return olo[:R], ohi[:R]
+
+
+DeviceCkksEvaluator.multiply_relin = _evaluator_multiply_relin
+DeviceCkksEvaluator.rescale = _evaluator_rescale

@@ -115,14 +115,20 @@ def test_multiply_two_ciphertexts(ctx):
     assert rel_err < 1e-3
 
 
-def test_device_evaluator_rotate_matches_host(ctx):
+@pytest.fixture(scope="module")
+def ev(ctx):
+    # one evaluator for all device tests: its jitted stages are cached per
+    # instance, so the suite compiles each pipeline once
+    return ckks.DeviceCkksEvaluator(ctx, interpret=True)
+
+
+def test_device_evaluator_rotate_matches_host(ctx, ev):
     """Device-resident rotation (NTT-domain permutation gather + fused-MXU
     keyswitch, no host round trip) must equal the host path's coefficient-
     domain automorphism + keyswitch bit-for-bit."""
     rng = np.random.default_rng(5)
     z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)
     ct = ctx.encrypt(z)
-    ev = ckks.DeviceCkksEvaluator(ctx, interpret=True)
     h = ev.stage(ct)
     got = ev.to_host(ev.rotate(h, 3))
     want = ctx.rotate(ct, 3)
@@ -130,13 +136,12 @@ def test_device_evaluator_rotate_matches_host(ctx):
     assert got.level == want.level and got.scale == want.scale
 
 
-def test_device_evaluator_chain(ctx):
+def test_device_evaluator_chain(ctx, ev):
     """rotate -> rotate -> add chain entirely on device, one final fetch;
     decrypts to the expected rotated slots."""
     rng = np.random.default_rng(6)
     z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)
     ct = ctx.encrypt(z)
-    ev = ckks.DeviceCkksEvaluator(ctx, interpret=True)
     h = ev.stage(ct)
     h1 = ev.rotate(h, 1)
     h2 = ev.rotate(h1, 1)          # net rotation by 2 (key for r=1 reused)
@@ -160,3 +165,37 @@ def test_ntt_galois_sigma_property():
         lhs = golden.fwd_ntt(np.array(rot, dtype=np.uint64), q, tabs)
         rhs = golden.fwd_ntt(m, q, tabs)[ckks._ntt_galois_sigma(n, g)]
         np.testing.assert_array_equal(lhs, rhs)
+
+
+def test_device_evaluator_multiply_relin_rescale_matches_host(ctx, ev):
+    """Device multiply+relinearize and rescale must equal the host path
+    bit-for-bit (same dyadic kernel math, same keyswitch, same exact RNS
+    rescale)."""
+    rng = np.random.default_rng(7)
+    z1 = rng.standard_normal(ctx.slots) * 0.5
+    z2 = rng.standard_normal(ctx.slots) * 0.5
+    ct1, ct2 = ctx.encrypt(z1), ctx.encrypt(z2)
+    got = ev.to_host(ev.multiply_relin(ev.stage(ct1), ev.stage(ct2)))
+    want = ctx.multiply_relin(ct1, ct2)
+    np.testing.assert_array_equal(got.data, want.data)
+    assert got.scale == want.scale
+    got_rs = ev.to_host(ev.rescale(ev.stage(want)))
+    want_rs = ctx.rescale(want)
+    np.testing.assert_array_equal(got_rs.data, want_rs.data)
+    assert got_rs.level == want_rs.level
+
+
+def test_device_evaluator_full_pipeline(ctx, ev):
+    """encrypt -> (device: multiply_relin -> rescale -> rotate -> add) ->
+    decrypt: the whole evaluation stays on the accelerator."""
+    rng = np.random.default_rng(8)
+    z1 = rng.standard_normal(ctx.slots) * 0.5
+    z2 = rng.standard_normal(ctx.slots) * 0.5
+    h1 = ev.stage(ctx.encrypt(z1))
+    h2 = ev.stage(ctx.encrypt(z2))
+    h = ev.rescale(ev.multiply_relin(h1, h2))   # z1*z2, one level down
+    hr = ev.rotate(h, 1)
+    hsum = ev.add(h, hr)                        # z1z2 + rot1(z1z2)
+    back = ctx.decrypt(ev.to_host(hsum))
+    want = z1 * z2 + np.roll(z1 * z2, -1)
+    assert np.max(np.abs(back - want)) < 1e-2
