@@ -110,4 +110,57 @@ int hexl_tpu_generate_primes(int num_primes, int bit_size, uint64_t ntt_size,
   }
 }
 
+// -- 52-bit wire transport codec --------------------------------------------
+//
+// Packs n (multiple of 8) sub-2^52 values into a dense 52-bit stream
+// (13 u32 words per 8 values) at memory bandwidth -- the Python wirepack
+// codec's numpy fallback costs more host CPU than the wire bytes it saves,
+// so link-bound transports call these through ctypes instead.  Bit layout
+// identical to hexl_fpga_tpu/ops/wirepack.py (cross-validated in tests).
+
+void hexl_tpu_pack52(const uint64_t* in, uint32_t* out, uint64_t n) {
+  constexpr uint64_t kMask = (1ULL << 52) - 1;
+#pragma omp parallel for schedule(static)
+  for (int64_t g = 0; g < static_cast<int64_t>(n / 8); g++) {
+    const uint64_t* c = in + g * 8;
+    uint32_t* o = out + g * 13;
+    // static per-word shift table (each packed word spans <= 2 values);
+    // generated from the 52-bit stream layout, identical to ops/wirepack.py
+    o[0] = static_cast<uint32_t>(c[0]);
+    o[1] = static_cast<uint32_t>((c[0] & kMask) >> 32 | c[1] << 20);
+    o[2] = static_cast<uint32_t>(c[1] >> 12);
+    o[3] = static_cast<uint32_t>((c[1] & kMask) >> 44 | c[2] << 8);
+    o[4] = static_cast<uint32_t>((c[2] & kMask) >> 24 | c[3] << 28);
+    o[5] = static_cast<uint32_t>(c[3] >> 4);
+    o[6] = static_cast<uint32_t>((c[3] & kMask) >> 36 | c[4] << 16);
+    o[7] = static_cast<uint32_t>(c[4] >> 16);
+    o[8] = static_cast<uint32_t>((c[4] & kMask) >> 48 | c[5] << 4);
+    o[9] = static_cast<uint32_t>((c[5] & kMask) >> 28 | c[6] << 24);
+    o[10] = static_cast<uint32_t>(c[6] >> 8);
+    o[11] = static_cast<uint32_t>((c[6] & kMask) >> 40 | c[7] << 12);
+    o[12] = static_cast<uint32_t>((c[7] & kMask) >> 20);
+  }
+}
+
+void hexl_tpu_unpack52(const uint32_t* in, uint64_t* out, uint64_t n) {
+  constexpr uint64_t kMask = (1ULL << 52) - 1;
+#pragma omp parallel for schedule(static)
+  for (int64_t g = 0; g < static_cast<int64_t>(n / 8); g++) {
+    const uint32_t* p = in + g * 13;
+    uint64_t* c = out + g * 8;
+    auto two = [&](int w) {  // words w, w+1 as one u64 (little endian)
+      return static_cast<uint64_t>(p[w]) |
+             (static_cast<uint64_t>(p[w + 1]) << 32);
+    };
+    c[0] = two(0) & kMask;
+    c[1] = (two(1) >> 20 | static_cast<uint64_t>(p[3]) << 44) & kMask;
+    c[2] = (two(3) >> 8) & kMask;
+    c[3] = (two(4) >> 28 | static_cast<uint64_t>(p[6]) << 36) & kMask;
+    c[4] = (two(6) >> 16 | static_cast<uint64_t>(p[8]) << 48) & kMask;
+    c[5] = (two(8) >> 4) & kMask;
+    c[6] = (two(9) >> 24 | static_cast<uint64_t>(p[11]) << 40) & kMask;
+    c[7] = (two(11) >> 12) & kMask;
+  }
+}
+
 }  // extern "C"

@@ -170,6 +170,7 @@ class KeySwitchTpuContext:
             )
         self._fn = jax.jit(self._build)
         self._fn32 = jax.jit(self._build32)
+        self._fn32p = jax.jit(self._build32p)
 
     # -- jitted body --------------------------------------------------------
 
@@ -355,6 +356,19 @@ class KeySwitchTpuContext:
                                r_lo, r_hi, msf4)
         return w.interleave_jnp(olo, ohi)
 
+    def _build32p(self, tp, rp, keys_lo, keys_hi, kp_lo, kp_hi, msf4):
+        """52-bit WIRE-PACKED entry (ops/wirepack.py): operands arrive
+        packed to 13/16 of the interleaved bytes (every transported value
+        is a residue below a <= 2^52 modulus), unpack on device, compute,
+        and return the result packed.  For hosts where the link — not
+        compute — bounds end-to-end throughput."""
+        from . import wirepack
+
+        t32 = wirepack.unpack_jnp(tp)
+        r32 = wirepack.unpack_jnp(rp)
+        out32 = self._build32(t32, r32, keys_lo, keys_hi, kp_lo, kp_hi, msf4)
+        return wirepack.pack_jnp(out32)
+
     # -- numpy wrappers (same surface as keyswitch_jax.KeySwitchContext) ----
 
     def prepare_keys(self, k_switch_keys):
@@ -489,12 +503,48 @@ class KeySwitchTpuContext:
         msf4 = self.prepare_msf4(modswitch_factors)
         return self._fn32(t32, r32, klo, khi, plo, phi, msf4)
 
-    def run_batch(self, results, t_targets, k_switch_keys, modswitch_factors):
-        out32 = self.dispatch_batch32(
-            results, t_targets, k_switch_keys, modswitch_factors
-        )
+    def dispatch_batch32p(self, results, t_targets, k_switch_keys,
+                          modswitch_factors):
+        """Wire-packed transport (52 bits/coefficient on the link, both
+        directions): host packs with numpy, device unpacks/repacks inside
+        the jit.  Returns the packed device array; decode the fetched
+        result with wirepack.unpack_np + from_interleaved_np."""
+        from . import wirepack
+
         B = results.shape[0]
-        return w.from_interleaved_np(np.asarray(out32)).reshape(B, -1)
+        n, L = self.n, self.L
+        tp = wirepack.pack_np(w.to_interleaved_np(
+            np.asarray(t_targets, dtype=np.uint64).reshape(B, L, n)
+        ))
+        rp = wirepack.pack_np(w.to_interleaved_np(
+            np.asarray(results, dtype=np.uint64).reshape(
+                B, self.comp, self.L, n
+            )
+        ))
+        klo, khi, plo, phi = self.device_keys(k_switch_keys)
+        msf4 = self.prepare_msf4(modswitch_factors)
+        return self._fn32p(tp, rp, klo, khi, plo, phi, msf4)
+
+    @staticmethod
+    def wire_pack_enabled() -> bool:
+        import os
+
+        return os.environ.get("HEXL_TPU_WIRE_PACK") == "1"
+
+    def run_batch(self, results, t_targets, k_switch_keys, modswitch_factors):
+        B = results.shape[0]
+        if self.wire_pack_enabled():
+            from . import wirepack
+
+            outp = self.dispatch_batch32p(
+                results, t_targets, k_switch_keys, modswitch_factors
+            )
+            out32 = wirepack.unpack_np(np.asarray(outp))
+        else:
+            out32 = np.asarray(self.dispatch_batch32(
+                results, t_targets, k_switch_keys, modswitch_factors
+            ))
+        return w.from_interleaved_np(out32).reshape(B, -1)
 
     # -- device-resident ciphertext handles ---------------------------------
     #

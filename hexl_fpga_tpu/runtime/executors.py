@@ -304,10 +304,18 @@ class JaxExecutor(_Base):
                 [np.asarray(i.args["result"], dtype=np.uint64).ravel() for i in batch]
             )
             dispatch32 = getattr(ctx, "dispatch_batch32", None)
+            packed = False
             if dispatch32 is not None:
-                # zero-copy staging + on-device u64 split (keyswitch_tpu)
-                out32 = dispatch32(rs, ts, a["k_switch_keys"],
-                                   a["modswitch_factors"])
+                if getattr(ctx, "wire_pack_enabled", lambda: False)():
+                    # 52-bit wire transport (HEXL_TPU_WIRE_PACK=1)
+                    out32 = ctx.dispatch_batch32p(
+                        rs, ts, a["k_switch_keys"], a["modswitch_factors"]
+                    )
+                    packed = True
+                else:
+                    # zero-copy staging + on-device u64 split (keyswitch_tpu)
+                    out32 = dispatch32(rs, ts, a["k_switch_keys"],
+                                       a["modswitch_factors"])
                 _start_host_copy(out32)
                 olo = ohi = None
             else:
@@ -319,7 +327,12 @@ class JaxExecutor(_Base):
 
         def finalize():
             if olo is None:
-                out = _w.from_interleaved_np(np.asarray(out32)).reshape(
+                fetched = np.asarray(out32)
+                if packed:
+                    from ..ops import wirepack
+
+                    fetched = wirepack.unpack_np(fetched)
+                out = _w.from_interleaved_np(fetched).reshape(
                     len(batch), -1
                 )
             else:

@@ -146,3 +146,19 @@ def test_interleaved_dispatch_fast_path(vec):
     want = w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(2, -1)
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(got[0], vec.expected_output.ravel())
+
+
+def test_wire_packed_dispatch_matches(vec, monkeypatch):
+    """The 52-bit wire-packed transport must be bit-identical end to end."""
+    monkeypatch.setenv("HEXL_TPU_WIRE_PACK", "1")
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
+        tile_p=2, interpret=True,
+    )
+    rs = np.stack([vec.input] * 2)
+    ts = np.stack([vec.t_target_iter_ptr] * 2)
+    got = ctx.run_batch(rs, ts, vec.key_vectors, vec.modswitch_factors)
+    np.testing.assert_array_equal(got[0], vec.expected_output.ravel())
+    monkeypatch.delenv("HEXL_TPU_WIRE_PACK")
+    same = ctx.run_batch(rs, ts, vec.key_vectors, vec.modswitch_factors)
+    np.testing.assert_array_equal(got, same)
