@@ -127,7 +127,12 @@ def bench_ntt():
                 "falling back to the VPU kernel")
             from hexl_fpga_tpu.ops import ntt_pallas
 
-            dt = chain_timer(ntt_pallas.raw_fwd_call(n, int(q), 32), (lo, hi))
+            vcall = ntt_pallas.raw_fwd_call(n, int(q), 32)
+            vout = call_with_retry(jax.jit(vcall), lo, hi)
+            got = w.from_pair_np(np.asarray(vout[0][:4]), np.asarray(vout[1][:4]))
+            np.testing.assert_array_equal(got, golden.fwd_ntt(a[:4], q))
+            log(f"[vpu B={B}] bit-exact vs golden: OK")
+            dt = chain_timer(vcall, (lo, hi))
         rates.append(B / dt)
         log(f"[mxu B={B}] {dt*1e3:.3f} ms/batch -> {B/dt:.0f} NTT/s")
     med, spread = _median(rates), _spread_pct(rates)

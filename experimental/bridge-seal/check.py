@@ -45,7 +45,8 @@ def parse_patch(path):
         for raw in f:
             line = raw.rstrip("\n")
             if line.startswith("+++ "):
-                target = line[4:].lstrip("b/")
+                target = line[4:]
+                target = target.removeprefix("b/")
                 continue
             m = HUNK_RE.match(line)
             if m:

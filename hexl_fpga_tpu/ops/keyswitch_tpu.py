@@ -399,49 +399,23 @@ class KeySwitchTpuContext:
 
     def device_keys(self, k_switch_keys):
         """Upload-once key + precon cache — the analog of the reference's
-        pointer-keyed keys_map_ (`host/src/fpga.cpp:1158-1165`), hardened:
-
-        * multi-entry LRU (alternating key sets stay resident);
-        * entries PIN the source arrays, so a CPython id can never be
-          recycled into a false hit while the entry lives;
-        * hits verify object identity (`is`) per key, and a sampled content
-          checksum guards against in-place mutation of a cached key buffer
-          (the one hazard pointer-keying cannot see)."""
+        pointer-keyed keys_map_ (`host/src/fpga.cpp:1158-1165`), via the
+        shared utils/keycache.PinnedKeyCache (LRU, source-array pinning,
+        identity + content-checksum guarded; see that module for the
+        mutation contract and the HEXL_TPU_KEY_CHECKSUM=full knob)."""
         if not hasattr(self, "_key_cache"):
-            from collections import OrderedDict
+            from ..utils.keycache import PinnedKeyCache
 
-            self._key_cache = OrderedDict()
+            def stage(src):
+                keys = np.stack(
+                    [a.reshape(self.comp, self.K, self.n) for a in src]
+                )
+                klo, khi = w.to_pair_np(keys)
+                plo, phi = w.to_pair_np(self.key_precons(keys))
+                return tuple(jnp.asarray(x) for x in (klo, khi, plo, phi))
 
-        def checksum(arrs):
-            # cheap content sample: first/last lane + a fixed stride through
-            # each buffer (full hashes would cost ~ms per call on 22 MB)
-            h = 0
-            for a in arrs:
-                flat = a.reshape(-1)
-                s = max(1, flat.size // 64)
-                h ^= hash((flat[::s].tobytes(), flat[-1].item()))
-            return h
-
-        src = [np.asarray(kv, dtype=np.uint64) for kv in k_switch_keys]
-        kid = tuple(id(a) for a in src)
-        entry = self._key_cache.get(kid)
-        if entry is not None:
-            pinned, csum, hit = entry
-            same = len(pinned) == len(src) and all(
-                p is s for p, s in zip(pinned, src)
-            )
-            if same and csum == checksum(src):
-                self._key_cache.move_to_end(kid)
-                return hit
-            del self._key_cache[kid]  # mutated or aliased: re-upload
-        keys = np.stack([a.reshape(self.comp, self.K, self.n) for a in src])
-        klo, khi = w.to_pair_np(keys)
-        plo, phi = w.to_pair_np(self.key_precons(keys))
-        hit = tuple(jnp.asarray(x) for x in (klo, khi, plo, phi))
-        self._key_cache[kid] = (src, checksum(src), hit)
-        while len(self._key_cache) > self.KEY_CACHE_SLOTS:
-            self._key_cache.popitem(last=False)
-        return hit
+            self._key_cache = PinnedKeyCache(self.KEY_CACHE_SLOTS, stage)
+        return self._key_cache.get(k_switch_keys)
 
     def prepare_msf(self, modswitch_factors):
         msf = np.array(

@@ -7,6 +7,11 @@ natural transport layout spends 64 bits per coefficient.  Packing to the
 host link — not compute — is the bottleneck (PCIe-attached hosts under
 heavy fan-in; the tunneled environment's ~50 MB/s wire especially).
 
+Value-domain contract: every packed value must be < 2^52 (the library
+transports canonical residues of <= 52-bit moduli).  Out-of-domain bits
+are MASKED OFF (both codecs), so a contract violation corrupts only the
+offending coefficient — it cannot bleed into its neighbor's field.
+
 Scheme: groups of 8 coefficients (8 x 52 = 416 bits = 13 u32 words).  The
 codec is generated once from the bit layout and applied identically with
 numpy (host side) and jax.numpy (device side), so pack(host)->unpack(device)
@@ -70,6 +75,10 @@ def _pack(x, xp):
         acc = None
         for idx, sh in tlist:
             v = g[..., idx]
+            if idx % 2:  # hi word: only 20 payload bits — mask so an
+                # out-of-domain value (>= 2^52) corrupts itself, never its
+                # neighbor's field (same contract as the native codec)
+                v = v & np.uint32(0xFFFFF)
             t = (v << np.uint32(sh)) if sh >= 0 else (v >> np.uint32(-sh))
             acc = t if acc is None else acc | t
         outs.append(acc)
@@ -124,11 +133,11 @@ def _native():
 
 def pack_np(x32: np.ndarray) -> np.ndarray:
     x32 = np.ascontiguousarray(x32, dtype=np.uint32)
+    assert x32.shape[-1] % WORDS_IN == 0, "last dim must be 16*k u32 words"
     lib = _native()
     if lib is not None:
         import ctypes
 
-        n = x32.shape[-1] // 2  # u64 values
         out = np.empty(x32.shape[:-1] + (x32.shape[-1] * 13 // 16,),
                        dtype=np.uint32)
         total = x32.size // 2
@@ -137,13 +146,13 @@ def pack_np(x32: np.ndarray) -> np.ndarray:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             ctypes.c_uint64(total),
         )
-        del n
         return out
     return _pack(x32, np)
 
 
 def unpack_np(p32: np.ndarray) -> np.ndarray:
     p32 = np.ascontiguousarray(p32, dtype=np.uint32)
+    assert p32.shape[-1] % WORDS_OUT == 0, "last dim must be 13*k u32 words"
     lib = _native()
     if lib is not None:
         import ctypes

@@ -54,8 +54,12 @@ def to_interleaved_np(a) -> np.ndarray:
     the host (~175 MB per flagship keyswitch batch, serialized on one core —
     VERDICT r2 'what's missing' #1) becomes a free reinterpret; the actual
     deinterleave runs on-device inside the jit (deinterleave_jnp)."""
+    import sys
+
     a = np.ascontiguousarray(np.asarray(a, dtype=np.uint64))
-    assert a.dtype.byteorder in ("=", "<"), "little-endian host required"
+    # dtype.byteorder reports '=' (native) on big-endian hosts too; the
+    # actual platform order is what decides the (lo, hi) word layout
+    assert sys.byteorder == "little", "little-endian host required"
     return a.view(np.uint32)
 
 

@@ -18,13 +18,28 @@ import numpy as np
 
 
 def sampled_checksum(arrs: Sequence[np.ndarray]) -> int:
-    """Cheap content sample: a fixed stride through each buffer plus the
-    last element (full hashes would cost ~ms per call on 22 MB key sets)."""
+    """Content guard for cache hits.
+
+    Default: a fixed stride through each buffer plus the last element —
+    cheap (µs on 22 MB key sets) but able to miss a mutation that avoids
+    every sampled element.  The cache's primary contract is the reference's
+    own (`keys_map_` is pointer-keyed with NO content check at all,
+    `host/src/fpga.cpp:1158-1165`): callers must not mutate a key buffer
+    in place — re-create the array instead.  The sample is a strictly
+    stronger best-effort guard; set HEXL_TPU_KEY_CHECKSUM=full to hash
+    every byte on every hit (~5-10 ms per flagship key set) when that
+    contract cannot be trusted."""
+    import os
+
+    full = os.environ.get("HEXL_TPU_KEY_CHECKSUM") == "full"
     h = 0
     for a in arrs:
         flat = a.reshape(-1)
-        s = max(1, flat.size // 64)
-        h ^= hash((flat[::s].tobytes(), flat[-1].item()))
+        if full:
+            h ^= hash(flat.tobytes())
+        else:
+            s = max(1, flat.size // 64)
+            h ^= hash((flat[::s].tobytes(), flat[-1].item()))
     return h
 
 

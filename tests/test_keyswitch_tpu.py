@@ -162,3 +162,23 @@ def test_wire_packed_dispatch_matches(vec, monkeypatch):
     monkeypatch.delenv("HEXL_TPU_WIRE_PACK")
     same = ctx.run_batch(rs, ts, vec.key_vectors, vec.modswitch_factors)
     np.testing.assert_array_equal(got, same)
+
+
+def test_key_cache_full_checksum_catches_any_mutation(vec, monkeypatch):
+    """HEXL_TPU_KEY_CHECKSUM=full must catch in-place mutations that the
+    default stride sample can miss (the cache's documented escape hatch
+    for callers that cannot honor the no-mutation contract)."""
+    monkeypatch.setenv("HEXL_TPU_KEY_CHECKSUM", "full")
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 3, 3, 2, vec.moduli, None, tile_p=2, interpret=True,
+    )
+    keys = [np.array(k, dtype=np.uint64) for k in vec.key_vectors]
+    h1 = ctx.device_keys(keys)
+    # mutate ONE element chosen off the stride-64 sample grid
+    flat = keys[0].reshape(-1)
+    stride = max(1, flat.size // 64)
+    idx = 1 if stride > 1 else 0
+    assert idx % stride != 0 or stride == 1
+    flat[idx] ^= np.uint64(1)
+    h2 = ctx.device_keys(keys)
+    assert h1[0] is not h2[0], "full checksum must force a re-upload"
