@@ -110,3 +110,21 @@ def test_api_wide_modulus_fallback_hw():
         api._NTT(op, t.fwd, t.fwd_precon, q, n)
     api._NTTCompleted()
     np.testing.assert_array_equal(op, golden.fwd_ntt(a, q, t))
+
+
+def test_api_wire_packed_keyswitch_hw(monkeypatch):
+    """HEXL_TPU_WIRE_PACK=1 through the public API on the accelerated tier:
+    the executor's packed transport branch must stay bit-exact."""
+    from hexl_fpga_tpu import api
+    from hexl_fpga_tpu.utils import vectors
+
+    monkeypatch.setenv("HEXL_TPU_WIRE_PACK", "1")
+    api.acquire_FPGA_resources()
+    vec = vectors.make_keyswitch_vector(1024, 2, 3, seed=4, modulus_bits=45)
+    res = vec.input.copy()
+    api.set_worksize_KeySwitch(1)
+    api.KeySwitch(res, vec.t_target_iter_ptr, 1024, 2, 3, 3, 2,
+                  vec.moduli, vec.key_vectors, vec.modswitch_factors,
+                  vec.twiddle_factors)
+    api.KeySwitchCompleted()
+    np.testing.assert_array_equal(res.ravel(), vec.expected_output.ravel())
