@@ -40,10 +40,15 @@ BASELINE_NTT_PER_SEC = 3.6e4  # reference CU upper bound (BASELINE.md)
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache (same dir the tests/dryrun warm): a
-    driver re-run skips the 40-90 s first-compiles when the programs are
-    unchanged.  Opt out with HEXL_TPU_NO_COMPILE_CACHE=1."""
+    """Persistent XLA compile cache — CPU backend only.  Measured on the
+    tunneled TPU backend the cache WRITES stall the first compile by ~10
+    minutes without speeding re-runs (serialization through the remote
+    PJRT path), so it stays off unless the run targets CPU.  Opt in/out
+    explicitly with HEXL_TPU_COMPILE_CACHE=1/HEXL_TPU_NO_COMPILE_CACHE=1."""
     if os.environ.get("HEXL_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    if (os.environ.get("HEXL_TPU_COMPILE_CACHE") != "1"
+            and os.environ.get("JAX_PLATFORMS", "") != "cpu"):
         return
     try:
         import jax
