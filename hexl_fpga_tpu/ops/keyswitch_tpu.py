@@ -546,6 +546,34 @@ class KeySwitchTpuContext:
         )
         return DeviceCiphertext(jnp.asarray(c32), self)
 
+    def run_device_chain(self, ct, target, k_switch_keys, modswitch_factors,
+                         depth: int) -> "DeviceCiphertext":
+        """depth keyswitches with FIXED keys/target compiled as ONE device
+        program (lax.fori_loop): each step's output ciphertext is the next
+        step's accumulator.  Eliminates the per-link host dispatch of a
+        run_device python loop, so long same-key chains run at the full
+        device rate (power-iteration rotations, repeated mod-raise, ...);
+        for per-step key changes use run_device per link."""
+        if not isinstance(ct, DeviceCiphertext):
+            ct = self.stage_ciphertext(np.asarray(ct, dtype=np.uint64))
+        if not isinstance(target, DeviceTarget):
+            target = self.stage_target(np.asarray(target, dtype=np.uint64))
+        assert ct.ctx is self and target.ctx is self
+        klo, khi, plo, phi = self.device_keys(k_switch_keys)
+        msf4 = self.prepare_msf4(modswitch_factors)
+        if not hasattr(self, "_chain_fn"):
+            def chain(ct32, t32, a, b, c, d, m4, k):
+                return jax.lax.fori_loop(
+                    0, k,
+                    lambda i, cur: self._build32(t32, cur, a, b, c, d, m4),
+                    ct32,
+                )
+
+            self._chain_fn = jax.jit(chain)
+        out32 = self._chain_fn(ct.data32, target.data32, klo, khi, plo, phi,
+                               msf4, jnp.int32(depth))
+        return DeviceCiphertext(out32, self)
+
     def run_device(self, ct, target, k_switch_keys, modswitch_factors
                    ) -> "DeviceCiphertext":
         """KeySwitch entirely on device: ct/target may be handles (stay

@@ -182,3 +182,22 @@ def test_key_cache_full_checksum_catches_any_mutation(vec, monkeypatch):
     flat[idx] ^= np.uint64(1)
     h2 = ctx.device_keys(keys)
     assert h1[0] is not h2[0], "full checksum must force a re-upload"
+
+
+def test_run_device_chain_matches_sequential(vec):
+    """The compiled fixed-key chain must equal depth sequential run_device
+    calls bit-for-bit."""
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
+        tile_p=2, interpret=True,
+    )
+    h_t = ctx.stage_target(vec.t_target_iter_ptr[None])
+    cur = ctx.stage_ciphertext(vec.input[None])
+    for _ in range(3):
+        cur = ctx.run_device(cur, h_t, vec.key_vectors,
+                             vec.modswitch_factors)
+    chained = ctx.run_device_chain(
+        vec.input[None], vec.t_target_iter_ptr[None], vec.key_vectors,
+        vec.modswitch_factors, depth=3,
+    )
+    np.testing.assert_array_equal(chained.to_host(), cur.to_host())
