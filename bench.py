@@ -40,31 +40,11 @@ BASELINE_NTT_PER_SEC = 3.6e4  # reference CU upper bound (BASELINE.md)
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache — CPU backend only.  Measured on the
-    tunneled TPU backend the cache WRITES stall the first compile by ~10
-    minutes without speeding re-runs (serialization through the remote
-    PJRT path), so it stays off unless the run targets CPU.  Opt in/out
-    explicitly with HEXL_TPU_COMPILE_CACHE=1/HEXL_TPU_NO_COMPILE_CACHE=1."""
-    if os.environ.get("HEXL_TPU_NO_COMPILE_CACHE") == "1":
-        return
-    if (os.environ.get("HEXL_TPU_COMPILE_CACHE") != "1"
-            and os.environ.get("JAX_PLATFORMS", "") != "cpu"):
-        return
-    try:
-        import jax
+    """CPU-backend-gated persistent compile cache (utils/cache.py: TPU
+    cache writes stall ~10 min on the tunneled backend)."""
+    from hexl_fpga_tpu.utils.cache import enable_compile_cache
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get(
-                "HEXL_TPU_COMPILE_CACHE_DIR",
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache"),
-            ),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-    except Exception:
-        pass
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 
 
 _enable_compile_cache()
@@ -133,10 +113,13 @@ def bench_ntt():
             from hexl_fpga_tpu.ops import ntt_pallas
 
             vcall = ntt_pallas.raw_fwd_call(n, int(q), 32)
-            vout = call_with_retry(jax.jit(vcall), lo, hi)
-            got = w.from_pair_np(np.asarray(vout[0][:4]), np.asarray(vout[1][:4]))
-            np.testing.assert_array_equal(got, golden.fwd_ntt(a[:4], q))
-            log(f"[vpu B={B}] bit-exact vs golden: OK")
+            if not checked:
+                vout = call_with_retry(jax.jit(vcall), lo, hi)
+                got = w.from_pair_np(np.asarray(vout[0][:4]),
+                                     np.asarray(vout[1][:4]))
+                np.testing.assert_array_equal(got, golden.fwd_ntt(a[:4], q))
+                log(f"[vpu B={B}] bit-exact vs golden: OK")
+                checked = True
             dt = chain_timer(vcall, (lo, hi))
         rates.append(B / dt)
         log(f"[mxu B={B}] {dt*1e3:.3f} ms/batch -> {B/dt:.0f} NTT/s")

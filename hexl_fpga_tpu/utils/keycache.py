@@ -33,13 +33,15 @@ def sampled_checksum(arrs: Sequence[np.ndarray]) -> int:
 
     full = os.environ.get("HEXL_TPU_KEY_CHECKSUM") == "full"
     h = 0
+    # chain order-dependently: XOR-folding per-array hashes would cancel
+    # for byte-identical (e.g. aliased) key arrays, hiding their mutations
     for a in arrs:
         flat = a.reshape(-1)
         if full:
-            h ^= hash(flat.tobytes())
+            h = hash((h, flat.tobytes()))
         else:
             s = max(1, flat.size // 64)
-            h ^= hash((flat[::s].tobytes(), flat[-1].item()))
+            h = hash((h, flat[::s].tobytes(), flat[-1].item()))
     return h
 
 

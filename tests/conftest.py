@@ -29,20 +29,13 @@ if not _HW:
     # ignored, so set the config knob too.
     jax.config.update("jax_platforms", "cpu")
 
+from hexl_fpga_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
 # Persistent compilation cache: XLA CPU compiles of the big fused programs
 # dominate suite time on small machines (60s+ each on one core); cached
-# re-runs drop to ~1s per program.  Opt out with HEXL_TPU_NO_COMPILE_CACHE=1.
-if os.environ.get("HEXL_TPU_NO_COMPILE_CACHE") != "1":
-    _cache_dir = os.environ.get(
-        "HEXL_TPU_COMPILE_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
-    )
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    try:
-        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-    except Exception:  # older jax: knob absent
-        pass
+# re-runs drop to ~1s per program.  Backend-gated (utils/cache.py): in the
+# HW tier (real TPU) cache writes stall compiles, so it stays off there.
+enable_compile_cache(os.path.dirname(os.path.dirname(__file__)))
 
 
 def pytest_configure(config):
