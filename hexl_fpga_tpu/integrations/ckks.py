@@ -646,3 +646,80 @@ def _pad2(call, lo, hi, tile_p):
 
 DeviceCkksEvaluator.multiply_relin = _evaluator_multiply_relin
 DeviceCkksEvaluator.rescale = _evaluator_rescale
+
+
+def _evaluator_add_plain(self, h: DeviceCkksCiphertext, z):
+    """h + encode(z) at h's scale: encoding stays on host (big-int CRT),
+    the limb-wise modular add runs on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import word64 as w
+
+    nl = h.level + 1
+    m_ntt = self.ctx._to_ntt_limbs(self.ctx.encode(z, scale=h.scale), nl)
+    m32 = jnp.asarray(w.to_interleaved_np(np.asarray(m_ntt, dtype=np.uint64)))
+    key = ("add_plain", nl)
+    if key not in self._addsub_fn:
+        moduli = self.ctx.moduli
+
+        def fn(a32, p32):
+            alo, ahi = w.deinterleave_jnp(a32)   # (2, nl, n)
+            plo, phi = w.deinterleave_jnp(p32)   # (nl, n)
+            outs_lo, outs_hi = [], []
+            for j in range(nl):
+                o = w.add_mod((alo[0, j], ahi[0, j]), (plo[j], phi[j]),
+                              moduli[j])
+                outs_lo.append(o[0])
+                outs_hi.append(o[1])
+            c0_lo = jnp.stack(outs_lo)
+            c0_hi = jnp.stack(outs_hi)
+            return w.interleave_jnp(
+                jnp.stack([c0_lo, alo[1]]), jnp.stack([c0_hi, ahi[1]])
+            )
+
+        self._addsub_fn[key] = jax.jit(fn)
+    return DeviceCkksCiphertext(
+        self._addsub_fn[key](h.data32, m32), h.level, h.scale
+    )
+
+
+def _evaluator_multiply_plain(self, h: DeviceCkksCiphertext, z):
+    """h * encode(z): pointwise modular multiply of both components per
+    limb on device; scale multiplies (rescale afterwards)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import word64 as w
+
+    nl = h.level + 1
+    m_ntt = self.ctx._to_ntt_limbs(self.ctx.encode(z), nl)
+    m32 = jnp.asarray(w.to_interleaved_np(np.asarray(m_ntt, dtype=np.uint64)))
+    key = ("mul_plain", nl)
+    if key not in self._addsub_fn:
+        moduli = self.ctx.moduli
+
+        def fn(a32, p32):
+            alo, ahi = w.deinterleave_jnp(a32)
+            plo, phi = w.deinterleave_jnp(p32)
+            outs_lo, outs_hi = [], []
+            for k in range(2):
+                for j in range(nl):
+                    o = w.mul_mod_static(
+                        (alo[k, j], ahi[k, j]), (plo[j], phi[j]), moduli[j]
+                    )
+                    outs_lo.append(o[0])
+                    outs_hi.append(o[1])
+            lo = jnp.stack(outs_lo).reshape(2, nl, -1)
+            hi = jnp.stack(outs_hi).reshape(2, nl, -1)
+            return w.interleave_jnp(lo, hi)
+
+        self._addsub_fn[key] = jax.jit(fn)
+    return DeviceCkksCiphertext(
+        self._addsub_fn[key](h.data32, m32), h.level,
+        h.scale * self.ctx.scale,
+    )
+
+
+DeviceCkksEvaluator.add_plain = _evaluator_add_plain
+DeviceCkksEvaluator.multiply_plain = _evaluator_multiply_plain

@@ -199,3 +199,19 @@ def test_device_evaluator_full_pipeline(ctx, ev):
     back = ctx.decrypt(ev.to_host(hsum))
     want = z1 * z2 + np.roll(z1 * z2, -1)
     assert np.max(np.abs(back - want)) < 1e-2
+
+
+def test_device_evaluator_plain_ops_match_host(ctx, ev):
+    """Device add_plain / multiply_plain equal the host path bit-for-bit."""
+    rng = np.random.default_rng(9)
+    z = rng.standard_normal(ctx.slots) * 0.5
+    p = rng.standard_normal(ctx.slots) * 0.5
+    ct = ctx.encrypt(z)
+    h = ev.stage(ct)
+    got_add = ev.to_host(ev.add_plain(h, p))
+    want_add = ctx.add_plain(ct, p)
+    np.testing.assert_array_equal(got_add.data, want_add.data)
+    got_mul = ev.to_host(ev.multiply_plain(h, p))
+    want_mul = ctx.multiply_plain(ct, p)
+    np.testing.assert_array_equal(got_mul.data, want_mul.data)
+    assert got_mul.scale == want_mul.scale
