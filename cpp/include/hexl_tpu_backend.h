@@ -74,6 +74,49 @@ typedef struct hexl_tpu_backend_v1 {
 // invoked from scheduler worker threads.
 void hexl_tpu_register_backend(const hexl_tpu_backend_v1* backend);
 
+// ---------------------------------------------------------------------------
+// v2: split submit/finalize — host-staging <-> device-compute overlap.
+//
+// The reference keeps its device saturated by reading batch i-1's results
+// while batch i computes (ping-pong KeySwitch objects,
+// `host/src/fpga.cpp:1517-1545`; CREDIT=2 dyadic pipelining, `fpga.h:618`).
+// v1's blocking executors cannot express that: the scheduler worker stalls
+// inside the backend for the whole batch.  v2 splits each batch into
+//   submit_*_batch  — stage inputs and dispatch asynchronously; returns a
+//                     nonzero completion handle, or 0 to decline the batch
+//                     (the scheduler then falls back to v1 / native CPU);
+//   finalize_batch  — block until the handle's results are written to the
+//                     ops' result pointers; nonzero on success.  Returning 0
+//                     means the batch FAILED; the backend must then have left
+//                     every result buffer unmodified (KeySwitch accumulates
+//                     into `result`, so a partial write would corrupt the
+//                     native re-run) and the scheduler re-runs the batch on
+//                     the native CPU path.
+// The scheduler guarantees the `ops` array and every pointer inside it stay
+// valid until finalize_batch returns for that handle, and that at most one
+// batch per worker is in flight (submit i+1 happens before finalize i — the
+// overlap window).  On TPU the natural implementation is JAX async dispatch:
+// submit = host staging + jitted call (returns device futures), finalize =
+// fetch + demux.
+// ---------------------------------------------------------------------------
+
+typedef struct hexl_tpu_backend_v2 {
+  uint64_t (*submit_dyadic_batch)(void* ctx, hexl_tpu_dyadic_op* ops,
+                                  uint64_t count);
+  uint64_t (*submit_keyswitch_batch)(void* ctx, hexl_tpu_keyswitch_op* ops,
+                                     uint64_t count);
+  // inverse = 0 for forward NTT, 1 for INTT.
+  uint64_t (*submit_ntt_batch)(void* ctx, hexl_tpu_ntt_op* ops, uint64_t count,
+                               int inverse);
+  int (*finalize_batch)(void* ctx, uint64_t handle);
+  void* ctx;
+} hexl_tpu_backend_v2;
+
+// Install (or clear, with NULL) the pipelined accelerator backend.  When both
+// v1 and v2 are registered, v2 is tried first; a declined submit falls back
+// to v1, then to the native CPU path.
+void hexl_tpu_register_backend_v2(const hexl_tpu_backend_v2* backend);
+
 #ifdef __cplusplus
 }  // extern "C"
 #endif

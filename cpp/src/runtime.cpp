@@ -152,6 +152,17 @@ void DevicePool::RegisterBackend(const hexl_tpu_backend_v1* backend) {
   }
 }
 
+void DevicePool::RegisterBackendV2(const hexl_tpu_backend_v2* backend) {
+  std::lock_guard<std::mutex> lock(backend_mu_);
+  if (backend) {
+    backend_v2_ = *backend;
+    backend_v2_set_ = true;
+  } else {
+    backend_v2_ = hexl_tpu_backend_v2{};
+    backend_v2_set_ = false;
+  }
+}
+
 void DevicePool::SetWorksize(OpType t, uint64_t ws) {
   std::lock_guard<std::mutex> lock(mu_);
   worksize_[static_cast<int>(t)] = ws ? ws : 1;
@@ -212,14 +223,59 @@ bool DevicePool::Completed(OpType t) {
   return true;
 }
 
+void DevicePool::MarkReady(const std::vector<WorkItem*>& batch) {
+  std::lock_guard<std::mutex> lock(mu_);
+  for (WorkItem* it : batch) it->ready = true;
+  item_done_.notify_all();
+}
+
 void DevicePool::WorkerLoop(int index) {
   (void)index;
+  // At most one submitted-not-finalized v2 batch is held here; while it
+  // computes on the device, this thread stages and submits the next batch
+  // (the reference reads batch i-1's output while batch i computes,
+  // `host/src/fpga.cpp:1517-1545`).  The moment there is no follow-up work
+  // to overlap with, the pending batch finalizes immediately — callers
+  // blocked in Completed() never wait on a poll interval.
+  std::unique_ptr<PendingBatch> pending;
+  auto finalize_now = [&] {
+    if (!pending) return;
+    auto t0 = std::chrono::steady_clock::now();
+    FinalizePending(*pending);
+    MarkReady(pending->items);
+    if (cfg_.debug) {
+      auto now = std::chrono::steady_clock::now();
+      auto fin_us =
+          std::chrono::duration_cast<std::chrono::microseconds>(now - t0)
+              .count();
+      auto tot_us = std::chrono::duration_cast<std::chrono::microseconds>(
+                        now - pending->submitted_at)
+                        .count();
+      std::fprintf(stderr,
+                   "[hexl-tpu] op=%d batch=%zu v2 finalize: %lld us "
+                   "(in-flight %lld us)\n",
+                   static_cast<int>(pending->items[0]->type),
+                   pending->items.size(), static_cast<long long>(fin_us),
+                   static_cast<long long>(tot_us));
+    }
+    pending.reset();
+  };
   for (;;) {
     std::vector<WorkItem*> batch;
     {
       std::unique_lock<std::mutex> lock(mu_);
-      not_empty_.wait(lock, [&] { return !queue_.empty() || closed_; });
-      if (closed_ && queue_.empty()) return;
+      if (!pending) {
+        not_empty_.wait(lock, [&] { return !queue_.empty() || closed_; });
+      }
+      if (queue_.empty()) {
+        if (pending) {
+          lock.unlock();
+          finalize_now();
+          continue;
+        }
+        if (closed_) return;
+        continue;  // spurious wake
+      }
       WorkItem* front = queue_.front();
       queue_.pop_front();
       batch.push_back(front);
@@ -232,12 +288,27 @@ void DevicePool::WorkerLoop(int index) {
       not_full_.notify_all();
     }
     auto t0 = std::chrono::steady_clock::now();
-    RunBatch(batch);
-    {
-      std::lock_guard<std::mutex> lock(mu_);
-      for (WorkItem* it : batch) it->ready = true;
-      item_done_.notify_all();
+    if (auto submitted = TrySubmitV2(batch)) {
+      submitted->submitted_at = t0;
+      if (cfg_.debug >= 2) {
+        auto us = std::chrono::duration_cast<std::chrono::microseconds>(
+                      std::chrono::steady_clock::now() - t0)
+                      .count();
+        std::fprintf(stderr, "[hexl-tpu] op=%d batch=%zu v2 submit: %lld us\n",
+                     static_cast<int>(batch[0]->type), batch.size(),
+                     static_cast<long long>(us));
+      }
+      // finalize the PREVIOUS batch only after this one is in flight
+      finalize_now();
+      pending = std::move(submitted);
+      continue;
     }
+    // synchronous v1/native path: drain the pipeline first to keep result
+    // completion in submission order
+    finalize_now();
+    t0 = std::chrono::steady_clock::now();
+    RunBatch(batch);
+    MarkReady(batch);
     if (cfg_.debug) {
       auto us = std::chrono::duration_cast<std::chrono::microseconds>(
                     std::chrono::steady_clock::now() - t0)
@@ -247,6 +318,43 @@ void DevicePool::WorkerLoop(int index) {
                    static_cast<long long>(us));
     }
   }
+}
+
+std::unique_ptr<DevicePool::PendingBatch> DevicePool::TrySubmitV2(
+    std::vector<WorkItem*>& batch) {
+  hexl_tpu_backend_v2 be{};
+  bool have = false;
+  if (cfg_.run_choice >= 1) {
+    std::lock_guard<std::mutex> lock(backend_mu_);
+    be = backend_v2_;
+    have = backend_v2_set_;
+  }
+  if (!have || !be.finalize_batch) return nullptr;
+  auto p = std::make_unique<PendingBatch>();
+  p->be = be;
+  p->items = batch;
+  const OpType t = batch[0]->type;
+  if (t == OpType::kDyadicMultiply && be.submit_dyadic_batch) {
+    for (auto* it : batch) p->dy.push_back(it->dyadic);
+    p->handle = be.submit_dyadic_batch(be.ctx, p->dy.data(), p->dy.size());
+  } else if (t == OpType::kKeySwitch && be.submit_keyswitch_batch) {
+    for (auto* it : batch) p->ks.push_back(it->ks);
+    p->handle = be.submit_keyswitch_batch(be.ctx, p->ks.data(), p->ks.size());
+  } else if ((t == OpType::kNtt || t == OpType::kIntt) &&
+             be.submit_ntt_batch) {
+    for (auto* it : batch) p->ntt.push_back(it->ntt);
+    p->handle = be.submit_ntt_batch(be.ctx, p->ntt.data(), p->ntt.size(),
+                                    t == OpType::kIntt ? 1 : 0);
+  }
+  if (!p->handle) return nullptr;
+  return p;
+}
+
+void DevicePool::FinalizePending(PendingBatch& pending) {
+  if (pending.be.finalize_batch(pending.be.ctx, pending.handle)) return;
+  // failed finalize left the result buffers unmodified (ABI contract) —
+  // recover on the native CPU path, like a declined v1 batch
+  RunNative(pending.items);
 }
 
 void DevicePool::RunBatch(std::vector<WorkItem*>& batch) {
@@ -277,7 +385,11 @@ void DevicePool::RunBatch(std::vector<WorkItem*>& batch) {
     }
     if (handled) return;
   }
-  // native CPU path
+  RunNative(batch);
+}
+
+void DevicePool::RunNative(const std::vector<WorkItem*>& batch) {
+  const OpType t = batch[0]->type;
   for (WorkItem* it : batch) {
     switch (t) {
       case OpType::kDyadicMultiply: {
@@ -318,4 +430,9 @@ void DevicePool::RunBatch(std::vector<WorkItem*>& batch) {
 
 extern "C" void hexl_tpu_register_backend(const hexl_tpu_backend_v1* backend) {
   hexl_tpu::DevicePool::Instance().RegisterBackend(backend);
+}
+
+extern "C" void hexl_tpu_register_backend_v2(
+    const hexl_tpu_backend_v2* backend) {
+  hexl_tpu::DevicePool::Instance().RegisterBackendV2(backend);
 }

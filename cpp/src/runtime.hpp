@@ -19,6 +19,7 @@
 #ifndef HEXL_FPGA_TPU_RUNTIME_HPP_
 #define HEXL_FPGA_TPU_RUNTIME_HPP_
 
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <deque>
@@ -74,12 +75,30 @@ class DevicePool {
   bool Completed(OpType t);           // block until done; reset ws to 1
 
   void RegisterBackend(const hexl_tpu_backend_v1* backend);
+  void RegisterBackendV2(const hexl_tpu_backend_v2* backend);
 
  private:
+  // one in-flight v2 batch per worker (the reference's ping-pong window,
+  // `host/src/fpga.cpp:1517-1545`): submitted, not yet finalized
+  struct PendingBatch {
+    uint64_t handle = 0;
+    hexl_tpu_backend_v2 be{};  // v-table snapshot used for the submit
+    std::vector<WorkItem*> items;
+    // op arrays passed to submit_*; must outlive finalize_batch
+    std::vector<hexl_tpu_dyadic_op> dy;
+    std::vector<hexl_tpu_keyswitch_op> ks;
+    std::vector<hexl_tpu_ntt_op> ntt;
+    std::chrono::steady_clock::time_point submitted_at;
+  };
+
   DevicePool();
   ~DevicePool();
   void WorkerLoop(int index);
   void RunBatch(std::vector<WorkItem*>& batch);
+  void RunNative(const std::vector<WorkItem*>& batch);
+  std::unique_ptr<PendingBatch> TrySubmitV2(std::vector<WorkItem*>& batch);
+  void FinalizePending(PendingBatch& pending);
+  void MarkReady(const std::vector<WorkItem*>& batch);
   int BatchLimit(OpType t) const;
 
   RuntimeConfig cfg_;
@@ -96,6 +115,8 @@ class DevicePool {
   std::mutex backend_mu_;
   hexl_tpu_backend_v1 backend_{};
   bool backend_set_ = false;
+  hexl_tpu_backend_v2 backend_v2_{};
+  bool backend_v2_set_ = false;
 };
 
 }  // namespace hexl_tpu

@@ -16,6 +16,7 @@
 #include <vector>
 
 #include "../include/hexl-fpga.h"
+#include "../include/hexl_tpu_backend.h"
 #include "../src/compute.hpp"
 #include "../src/number_theory.hpp"
 
@@ -175,12 +176,157 @@ static void TestConcurrentCallers() {
   std::puts("concurrent callers: OK");
 }
 
+// ---------------------------------------------------------------------------
+// ABI v2 (split submit/finalize) — cpp/include/hexl_tpu_backend.h.  A mock
+// pipelined backend checks the scheduler's overlap window: batch i+1 must be
+// SUBMITTED before batch i is finalized (the reference's ping-pong staging,
+// `host/src/fpga.cpp:1517-1545`), results must be correct, and a finalize
+// that fails (returns 0, results untouched) must recover on the native path.
+// ---------------------------------------------------------------------------
+
+#include <condition_variable>
+#include <map>
+#include <mutex>
+#include <string>
+
+namespace {
+
+struct MockV2 {
+  std::mutex mu;
+  std::condition_variable cv;
+  bool all_enqueued = false;  // caller signals after its last enqueue
+  std::vector<std::string> events;
+  std::map<u64, std::vector<hexl_tpu_dyadic_op>> inflight;
+  u64 next_handle = 1;
+  bool fail_finalize = false;
+
+  static u64 SubmitDyadic(void* ctx, hexl_tpu_dyadic_op* ops, u64 count) {
+    auto* m = static_cast<MockV2*>(ctx);
+    std::unique_lock<std::mutex> lock(m->mu);
+    // hold the first submit until the caller finished enqueueing, so the
+    // batch boundaries (and thus the event sequence) are deterministic
+    m->cv.wait(lock, [&] { return m->all_enqueued; });
+    const u64 h = m->next_handle++;
+    m->events.push_back("S" + std::to_string(h));
+    m->inflight[h].assign(ops, ops + count);
+    return h;
+  }
+
+  static int Finalize(void* ctx, u64 h) {
+    auto* m = static_cast<MockV2*>(ctx);
+    std::vector<hexl_tpu_dyadic_op> ops;
+    {
+      std::lock_guard<std::mutex> lock(m->mu);
+      m->events.push_back("F" + std::to_string(h));
+      auto it = m->inflight.find(h);
+      if (it == m->inflight.end()) return 0;
+      ops.swap(it->second);
+      m->inflight.erase(it);
+      if (m->fail_finalize) return 0;  // results untouched -> native rerun
+    }
+    for (auto& op : ops)
+      hexl_tpu::dyadic_multiply(op.results, op.operand1, op.operand2, op.n,
+                                op.moduli, op.n_moduli);
+    return 1;
+  }
+};
+
+}  // namespace
+
+static void TestBackendV2Pipelining() {
+  // re-create the pool with a batch limit of 2 so worksize 6 forms 3 batches
+  intel::hexl::release_FPGA_resources();
+  setenv("BATCH_SIZE_DYADIC_MULTIPLY", "2", 1);
+  intel::hexl::acquire_FPGA_resources();
+
+  const u64 n = 256, q = 65537;
+  std::mt19937_64 rng(17);
+  const int W = 6;
+  std::vector<std::vector<u64>> op1(W), op2(W), out(W);
+  for (int w = 0; w < W; ++w) {
+    op1[w].resize(2 * n);
+    op2[w].resize(2 * n);
+    out[w].assign(3 * n, 0);
+    for (u64 i = 0; i < 2 * n; ++i) {
+      op1[w][i] = rng() % q;
+      op2[w][i] = rng() % q;
+    }
+  }
+  auto check_outputs = [&] {
+    for (int w = 0; w < W; ++w)
+      for (u64 j = 0; j < n; ++j) {
+        const u64 x0 = op1[w][j], x1 = op1[w][n + j];
+        const u64 y0 = op2[w][j], y1 = op2[w][n + j];
+        CHECK(out[w][j] == static_cast<u64>(static_cast<u128>(x0) * y0 % q));
+        CHECK(out[w][n + j] ==
+              static_cast<u64>(
+                  (static_cast<u128>(x0) * y1 + static_cast<u128>(x1) * y0) %
+                  q));
+        CHECK(out[w][2 * n + j] ==
+              static_cast<u64>(static_cast<u128>(x1) * y1 % q));
+      }
+  };
+
+  MockV2 mock;
+  hexl_tpu_backend_v2 be{};
+  be.submit_dyadic_batch = &MockV2::SubmitDyadic;
+  be.finalize_batch = &MockV2::Finalize;
+  be.ctx = &mock;
+  hexl_tpu_register_backend_v2(&be);
+
+  intel::hexl::set_worksize_DyadicMultiply(W);
+  for (int w = 0; w < W; ++w)
+    intel::hexl::DyadicMultiply(out[w].data(), op1[w].data(), op2[w].data(), n,
+                                &q, 1);
+  {
+    std::lock_guard<std::mutex> lock(mock.mu);
+    mock.all_enqueued = true;
+    mock.cv.notify_all();
+  }
+  intel::hexl::DyadicMultiplyCompleted();
+  check_outputs();
+  // the overlap window: once the first submit returns, >= 4 ops are still
+  // queued, so batch 2 must be SUBMITTED before batch 1 finalizes.  (Batch
+  // boundaries depend on when the worker first popped, so only the prefix
+  // is fully deterministic.)
+  {
+    std::lock_guard<std::mutex> lock(mock.mu);
+    CHECK(mock.events.size() >= 4);
+    CHECK(mock.events.size() % 2 == 0);  // every submit finalized
+    CHECK(mock.events[0] == "S1");
+    CHECK(mock.events[1] == "S2");
+    CHECK(mock.events[2] == "F1");
+    CHECK(mock.inflight.empty());
+  }
+
+  // failed finalize: backend returns 0 with results untouched; the
+  // scheduler must recover on the native CPU path, bit-exact
+  {
+    std::lock_guard<std::mutex> lock(mock.mu);
+    mock.fail_finalize = true;
+  }
+  for (int w = 0; w < W; ++w) std::fill(out[w].begin(), out[w].end(), 0);
+  intel::hexl::set_worksize_DyadicMultiply(W);
+  for (int w = 0; w < W; ++w)
+    intel::hexl::DyadicMultiply(out[w].data(), op1[w].data(), op2[w].data(), n,
+                                &q, 1);
+  intel::hexl::DyadicMultiplyCompleted();
+  check_outputs();
+
+  hexl_tpu_register_backend_v2(nullptr);
+  intel::hexl::release_FPGA_resources();
+  unsetenv("BATCH_SIZE_DYADIC_MULTIPLY");
+  intel::hexl::acquire_FPGA_resources();  // restore for the final release
+  std::puts("backend v2 pipelining: OK");
+}
+
 int main() {
   intel::hexl::acquire_FPGA_resources();
   TestNttRoundtrip();
   TestDyadicMultiply();
   TestKeySwitchZeroKey();
   TestConcurrentCallers();
+  TestBackendV2Pipelining();
   intel::hexl::release_FPGA_resources();
   std::puts("selftest: ALL OK");
   return 0;

@@ -94,6 +94,36 @@ class BackendV1(ctypes.Structure):
     ]
 
 
+# v2 (split submit/finalize): submit returns a nonzero handle (0 = decline),
+# finalize blocks until that handle's results are written (0 = failure with
+# results untouched -> native rerun).  See cpp/include/hexl_tpu_backend.h.
+DYADIC_SUBMIT_CB = ctypes.CFUNCTYPE(
+    ctypes.c_uint64, ctypes.c_void_p, ctypes.POINTER(DyadicOp), ctypes.c_uint64
+)
+KEYSWITCH_SUBMIT_CB = ctypes.CFUNCTYPE(
+    ctypes.c_uint64, ctypes.c_void_p, ctypes.POINTER(KeySwitchOp),
+    ctypes.c_uint64,
+)
+NTT_SUBMIT_CB = ctypes.CFUNCTYPE(
+    ctypes.c_uint64,
+    ctypes.c_void_p,
+    ctypes.POINTER(NttOp),
+    ctypes.c_uint64,
+    ctypes.c_int,
+)
+FINALIZE_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p, ctypes.c_uint64)
+
+
+class BackendV2(ctypes.Structure):
+    _fields_ = [
+        ("submit_dyadic_batch", DYADIC_SUBMIT_CB),
+        ("submit_keyswitch_batch", KEYSWITCH_SUBMIT_CB),
+        ("submit_ntt_batch", NTT_SUBMIT_CB),
+        ("finalize_batch", FINALIZE_CB),
+        ("ctx", ctypes.c_void_p),
+    ]
+
+
 def build_library(force: bool = False) -> Path:
     """Build libhexl_fpga_tpu.so with cmake (cached in cpp/build)."""
     lib = _BUILD_DIR / _LIB_NAME
@@ -157,6 +187,11 @@ class NativeRuntime:
             (
                 "hexl_tpu_register_backend",
                 [ctypes.POINTER(BackendV1)],
+                None,
+            ),
+            (
+                "hexl_tpu_register_backend_v2",
+                [ctypes.POINTER(BackendV2)],
                 None,
             ),
             (
@@ -264,7 +299,7 @@ class NativeRuntime:
 
     # ----------------------------------------------- accelerator backend --
 
-    def register_jax_backend(self):
+    def register_jax_backend(self, pipelined: bool = True):
         """Install the JAX executors as the C++ runtime's accelerator backend.
 
         Callbacks run on C++ worker threads (ctypes reacquires the GIL); they
@@ -272,7 +307,15 @@ class NativeRuntime:
         results back through the caller's pointers.  On a real accelerator
         the production tiers serve the ops (fused-Pallas dyadic multiply and
         keyswitch, MXU NTT); the pure-XLA compositions remain the CPU/
-        emulation fallback."""
+        emulation fallback.
+
+        With ``pipelined`` (default) the split submit/finalize ABI v2 is
+        registered as well: submit stages inputs and dispatches the XLA
+        computation asynchronously, finalize fetches + demuxes — so the C++
+        scheduler overlaps host staging of batch i+1 with device compute of
+        batch i, the reference's ping-pong window
+        (`host/src/fpga.cpp:1517-1545`).  The v1 blocking executors stay
+        registered as the fallback for declined submits."""
         import jax
 
         from .ops import dyadic_jax, keyswitch_jax, ntt_jax
@@ -398,6 +441,213 @@ class NativeRuntime:
         )
         self._keepalive.append(backend)  # callbacks must outlive the runtime
         self.lib.hexl_tpu_register_backend(ctypes.byref(backend))
+        if not pipelined:
+            return
+
+        # ----------------------------------------------------- ABI v2 -----
+        import itertools
+        import threading
+
+        from .ops import word64 as w
+        from .utils.retry import call_with_retry
+
+        pending: dict = {}  # handle -> finalize closure
+        plock = threading.Lock()
+        counter = itertools.count(1)
+
+        def _register(fin) -> int:
+            h = next(counter)
+            with plock:
+                pending[h] = fin
+            return h
+
+        def _res_views(ptrs_and_lens):
+            return [
+                np.ctypeslib.as_array(p, shape=(int(length),))
+                for p, length in ptrs_and_lens
+            ]
+
+        def submit_dyadic(ctx, ops, count):
+            try:
+                n = int(ops[0].n)
+                M = int(ops[0].n_moduli)
+                moduli = _view(ops[0].moduli, M).copy()
+                op1 = np.stack(
+                    [_view(ops[i].operand1, 2 * M * n).reshape(2, M, n)
+                     for i in range(count)]
+                )
+                op2 = np.stack(
+                    [_view(ops[i].operand2, 2 * M * n).reshape(2, M, n)
+                     for i in range(count)]
+                )
+                views = _res_views(
+                    [(ops[i].results, 3 * M * n) for i in range(count)]
+                )
+                if accelerated and n % 128 == 0:
+                    from .ops import dyadic_pallas
+
+                    r = dyadic_pallas.runner(
+                        tuple(int(q) for q in moduli), n
+                    )
+                    dev = r.dispatch(op1, op2)
+
+                    def fin(dev=dev, r=r, views=views, count=count):
+                        out = r._unstage(dev).reshape(count, -1)
+                        for i, v in enumerate(views):
+                            v[:] = out[i]
+                else:
+                    dev = dyadic_jax.dyadic_multiply_batched(
+                        op1, op2, np.broadcast_to(moduli, (count, M))
+                    )
+
+                    def fin(dev=dev, views=views, count=count):
+                        out = np.asarray(dev).reshape(count, -1)
+                        for i, v in enumerate(views):
+                            v[:] = out[i]
+
+                return _register(fin)
+            except Exception:  # decline -> v1 / native fallback
+                return 0
+
+        def submit_keyswitch(ctx, ops, count):
+            try:
+                o = ops[0]
+                n, L, K = int(o.n), int(o.decomp_modulus_size), int(
+                    o.key_modulus_size
+                )
+                comp = int(o.key_component_count)
+                moduli = _view(o.moduli, K).copy()
+                tw = (
+                    _view(o.twiddle_factors, K * 4 * n).copy()
+                    if o.twiddle_factors
+                    else None
+                )
+                keys = [
+                    _view(o.k_switch_keys[i], comp * K * n).copy()
+                    for i in range(L)
+                ]
+                msf = _view(o.modswitch_factors, K).copy()
+                ts = np.stack(
+                    [_view(ops[i].t_target, L * n).copy()
+                     for i in range(count)]
+                )
+                rs = np.stack(
+                    [_view(ops[i].result, comp * L * n).copy()
+                     for i in range(count)]
+                )
+                views = _res_views(
+                    [(ops[i].result, comp * L * n) for i in range(count)]
+                )
+                if accelerated:
+                    from .ops import keyswitch_tpu
+
+                    kctx = keyswitch_tpu.get_context(
+                        n, L, K, int(o.rns_modulus_size), comp, moduli, tw
+                    )
+                    dev32 = kctx.dispatch_batch32(rs, ts, keys, msf)
+
+                    def fin(dev32=dev32, views=views, count=count):
+                        out = w.from_interleaved_np(
+                            np.asarray(dev32)
+                        ).reshape(count, -1)
+                        for i, v in enumerate(views):
+                            v[:] = out[i]
+                else:
+                    kctx = keyswitch_jax.get_context(
+                        n, L, K, int(o.rns_modulus_size), comp, moduli, tw
+                    )
+                    dev = kctx.dispatch_batch(rs, ts, keys, msf)
+
+                    def fin(dev=dev, views=views, count=count):
+                        out = w.from_pair_np(
+                            np.asarray(dev[0]), np.asarray(dev[1])
+                        ).reshape(count, -1)
+                        for i, v in enumerate(views):
+                            v[:] = out[i]
+
+                return _register(fin)
+            except Exception:
+                return 0
+
+        def submit_ntt(ctx, ops, count, inverse):
+            try:
+                o = ops[0]
+                n, q = int(o.n), int(o.coeff_modulus)
+                operands = np.stack(
+                    [_view(ops[i].operand, n).copy() for i in range(count)]
+                )
+                roots = _view(o.root_powers, n).copy()
+                views = _res_views(
+                    [(ops[i].operand, n) for i in range(count)]
+                )
+                if accelerated and n >= 1024:
+                    from .ops import nt as _nt, ntt_mxu_pallas
+
+                    if inverse:
+                        psi = _nt.inverse_mod(int(roots[1]), q)
+                        fn = ntt_mxu_pallas.inv_ntt_fn(n, q, psi=psi)
+                    else:
+                        psi = int(roots[n >> 1])
+                        fn = ntt_mxu_pallas.fwd_ntt_fn(n, q, psi=psi)
+                    tile_p = ntt_mxu_pallas.DEFAULT_TILE_P
+                    flat = operands
+                    pad = (-count) % tile_p
+                    if pad:
+                        flat = np.concatenate(
+                            [flat, np.zeros((pad, n), flat.dtype)]
+                        )
+                    lo, hi = w.to_pair_np(flat)
+                    dev = call_with_retry(fn, lo, hi)
+
+                    def fin(dev=dev, views=views, count=count):
+                        out = w.from_pair_np(
+                            np.asarray(dev[0]), np.asarray(dev[1])
+                        )[:count]
+                        for i, v in enumerate(views):
+                            v[:] = out[i]
+                else:
+                    precon = _view(o.precon_root_powers, n).copy()
+                    if inverse:
+                        out_np = ntt_jax.inv_ntt_with_tables(
+                            operands, q, roots, precon, int(o.inv_n),
+                            int(o.inv_n_w),
+                        )
+                    else:
+                        out_np = ntt_jax.fwd_ntt_with_tables(
+                            operands, q, roots, precon
+                        )
+
+                    def fin(out_np=out_np, views=views):
+                        for i, v in enumerate(views):
+                            v[:] = out_np[i]
+
+                return _register(fin)
+            except Exception:
+                return 0
+
+        def finalize(ctx, handle):
+            with plock:
+                fin = pending.pop(int(handle), None)
+            if fin is None:
+                return 0
+            try:
+                fin()
+                return 1
+            except Exception:
+                # results untouched (writes happen only after the full
+                # device->host fetch succeeded) -> scheduler reruns native
+                return 0
+
+        backend_v2 = BackendV2(
+            submit_dyadic_batch=DYADIC_SUBMIT_CB(submit_dyadic),
+            submit_keyswitch_batch=KEYSWITCH_SUBMIT_CB(submit_keyswitch),
+            submit_ntt_batch=NTT_SUBMIT_CB(submit_ntt),
+            finalize_batch=FINALIZE_CB(finalize),
+            ctx=None,
+        )
+        self._keepalive.append(backend_v2)
+        self.lib.hexl_tpu_register_backend_v2(ctypes.byref(backend_v2))
 
     def clear_backend(self):
         self.lib.hexl_tpu_register_backend(None)
+        self.lib.hexl_tpu_register_backend_v2(None)

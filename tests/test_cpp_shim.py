@@ -124,9 +124,12 @@ def test_keyswitch_vs_golden(rt, use_twiddles):
 
 
 @pytest.mark.heavy
-def test_jax_backend_registration(rt):
-    """The registered JAX backend handles batches and matches golden."""
-    rt.register_jax_backend()
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_jax_backend_registration(rt, pipelined):
+    """The registered JAX backend handles batches and matches golden —
+    via the blocking v1 executors and via the split submit/finalize v2
+    pipeline (`cpp/include/hexl_tpu_backend.h`)."""
+    rt.register_jax_backend(pipelined=pipelined)
     try:
         n, M = 256, 2
         moduli = np.array([(1 << 40) + 79, (1 << 44) + 43], dtype=np.uint64)
@@ -151,6 +154,18 @@ def test_jax_backend_registration(rt):
             vec.twiddle_factors,
         )
         np.testing.assert_array_equal(got, vec.expected_output)
+
+        # multi-batch stream (batch limit 1 -> one in-flight batch per op):
+        # exercises the v2 submit(i+1)-before-finalize(i) overlap window
+        ops1 = [rng.integers(0, moduli.min(), size=2 * M * n, dtype=np.uint64)
+                for _ in range(5)]
+        ops2 = [rng.integers(0, moduli.min(), size=2 * M * n, dtype=np.uint64)
+                for _ in range(5)]
+        outs = rt.dyadic_multiply(ops1, ops2, n, moduli)
+        for a, b, got in zip(ops1, ops2, outs):
+            np.testing.assert_array_equal(
+                got, golden.dyadic_multiply(a, b, n, moduli, M)
+            )
     finally:
         rt.clear_backend()
 
