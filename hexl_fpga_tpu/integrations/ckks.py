@@ -723,3 +723,172 @@ def _evaluator_multiply_plain(self, h: DeviceCkksCiphertext, z):
 
 DeviceCkksEvaluator.add_plain = _evaluator_add_plain
 DeviceCkksEvaluator.multiply_plain = _evaluator_multiply_plain
+
+
+# -- hoisted rotations (decompose once, rotate many) -------------------------
+#
+# Halevi-Shoup hoisting on the keyswitch_tpu hoisted core: the keyswitch
+# prefix (INTT1 + all engine NTTs, 48 of 62 transform rows) depends only on
+# the ciphertext, not the rotation step — compute it once, then every
+# additional rotation is {two NTT-domain gathers + MAC + INTT2 + tail}.
+# The hoisted decomposition automorphs by PERMUTATION in the engine NTT
+# domain, i.e. with the integer representative tau_g(y_i) (coefficients in
+# (-q_i, q_i)) instead of the canonical lift — a valid gadget decomposition
+# producing a correct (not bit-identical to rotate-then-keyswitch)
+# encryption of the rotated plaintext, the standard hoisting trade
+# (lattigo RotateHoisted).  The dominant CKKS patterns — BSGS linear
+# transforms, bootstrapping's CoeffToSlot, encrypted matrix-vector — rotate
+# one ciphertext by MANY steps and win ~3x per rotation.
+
+
+@dataclass
+class DeviceHoistedCiphertext:
+    """A ciphertext + the hoisted decomposition of its c1, on device."""
+
+    dlo: "object"     # (K, nl, n) lazy engine-domain decomposition planes
+    dhi: "object"
+    data32: "object"  # the (2, nl, 2n) interleaved ciphertext (for c0)
+    level: int
+    scale: float
+
+
+def _evaluator_hoist(self, h: DeviceCkksCiphertext) -> DeviceHoistedCiphertext:
+    """Run the keyswitch prefix (INTT1 + all engine NTTs) on h's c1 once."""
+    import jax
+
+    from ..ops import word64 as w
+
+    nl = h.level + 1
+    ks = self._ks_ctx(nl)
+    key = ("hoist", nl)
+    if key not in self._rot_fn:
+        def fn(data32):
+            lo, hi = w.deinterleave_jnp(data32)   # (2, nl, n)
+            return ks._decompose(lo[1][None], hi[1][None])
+
+        self._rot_fn[key] = jax.jit(fn)
+    dlo, dhi = self._rot_fn[key](h.data32)
+    return DeviceHoistedCiphertext(dlo, dhi, h.data32, h.level, h.scale)
+
+
+def _evaluator_rotate_hoisted(self, hh: DeviceHoistedCiphertext,
+                              r: int) -> DeviceCkksCiphertext:
+    """One rotation from a hoisted ciphertext: two gathers + MAC + tail.
+    The sigma permutation is a TRACED argument — every step shares one
+    compiled program."""
+    return self._apply_galois_hoisted(hh, pow(5, r, 2 * self.ctx.n))
+
+
+def _evaluator_conjugate_hoisted(self, hh: DeviceHoistedCiphertext
+                                 ) -> DeviceCkksCiphertext:
+    return self._apply_galois_hoisted(hh, 2 * self.ctx.n - 1)
+
+
+def _evaluator_apply_galois_hoisted(self, hh, g: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import word64 as w
+
+    nl = hh.level + 1
+    ks = self._ks_ctx(nl)
+    keys = ks.device_keys(self.ctx._galois_keys_for(g))
+    msf4 = ks.prepare_msf4(self.ctx.modswitch_factors)
+    if not hasattr(self, "_sigma_n"):
+        self._sigma_n = {}
+    if g not in self._sigma_n:
+        self._sigma_n[g] = jnp.asarray(
+            _ntt_galois_sigma(self.ctx.n, g).astype(np.int32)
+        )
+    key = ("hoisted_rot", nl)
+    if key not in self._rot_fn:
+        def fn(dlo, dhi, data32, s_idx, klo, khi, plo, phi, m4):
+            lo, hi = w.deinterleave_jnp(data32)        # (2, nl, n)
+            c0p_lo = lo[0][:, s_idx]                   # permuted c0 planes
+            c0p_hi = hi[0][:, s_idx]
+            res_lo = jnp.stack([c0p_lo, jnp.zeros_like(c0p_lo)])[None]
+            res_hi = jnp.stack([c0p_hi, jnp.zeros_like(c0p_hi)])[None]
+            olo, ohi = ks._apply_hoisted(
+                dlo, dhi, res_lo, res_hi, klo, khi, plo, phi, m4,
+                perm=s_idx,
+            )
+            return w.interleave_jnp(olo, ohi)[0]       # (2, nl, 2n)
+
+        self._rot_fn[key] = jax.jit(fn)
+    out32 = self._rot_fn[key](
+        hh.dlo, hh.dhi, hh.data32, self._sigma_n[g], *keys, msf4,
+    )
+    return DeviceCkksCiphertext(out32, hh.level, hh.scale)
+
+
+def _evaluator_rotate_many(self, h: DeviceCkksCiphertext,
+                           steps) -> "list[DeviceCkksCiphertext]":
+    """Rotate h by every step in `steps`, hoisting the keyswitch prefix
+    once.  Step 0 returns h itself (no keyswitch needed)."""
+    nontrivial = [r for r in steps if r % (self.ctx.slots) != 0]
+    hh = self.hoist(h) if nontrivial else None
+    out = []
+    for r in steps:
+        if r % self.ctx.slots == 0:
+            out.append(h)
+        else:
+            out.append(self.rotate_hoisted(hh, r))
+    return out
+
+
+DeviceCkksEvaluator.hoist = _evaluator_hoist
+DeviceCkksEvaluator.rotate_hoisted = _evaluator_rotate_hoisted
+DeviceCkksEvaluator.conjugate_hoisted = _evaluator_conjugate_hoisted
+DeviceCkksEvaluator._apply_galois_hoisted = _evaluator_apply_galois_hoisted
+DeviceCkksEvaluator.rotate_many = _evaluator_rotate_many
+
+
+def _evaluator_linear_transform(self, h: DeviceCkksCiphertext, diagonals,
+                                bsgs_n1: int | None = None
+                                ) -> DeviceCkksCiphertext:
+    """Encrypted matrix-vector product M @ z via the diagonal method with
+    baby-step/giant-step rotations (Halevi-Shoup): M is given by its
+    generalized diagonals {d: u_d} with u_d[i] = M[i, (i+d) % slots], so
+
+        M z = sum_d  u_d * rot_d(z)
+            = sum_j rot_{j*n1}( sum_i roll(u_{j*n1+i}, j*n1) * rot_i(z) )
+
+    The n1 baby rotations rot_i(z) come from ONE hoisted decomposition of
+    h; only the (#giant-step) outer rotations pay a full keyswitch.  This
+    is the core kernel of encrypted inference and bootstrapping's
+    CoeffToSlot/SlotToCoeff; the reference accelerates the raw KeySwitch
+    but has no rotation-level composition to hoist across.
+
+    diagonals: {int d: (slots,) complex vector}; bsgs_n1: baby-step count
+    (default ~sqrt(#diagonals)).  Output scale is h.scale * ctx.scale —
+    rescale afterwards."""
+    import math
+
+    slots = self.ctx.slots
+    diags = {d % slots: np.asarray(v) for d, v in diagonals.items()}
+    assert all(v.shape == (slots,) for v in diags.values())
+    n1 = bsgs_n1 or max(1, int(round(math.sqrt(len(diags)))))
+    groups: "dict[int, list[int]]" = {}
+    for d in sorted(diags):
+        groups.setdefault(d // n1, []).append(d)
+    # baby rotations from one hoisted decomposition
+    baby_needed = sorted({d % n1 for d in diags})
+    hh = self.hoist(h) if any(i != 0 for i in baby_needed) else None
+    baby = {
+        i: (h if i == 0 else self.rotate_hoisted(hh, i)) for i in baby_needed
+    }
+    out = None
+    for j, ds in groups.items():
+        inner = None
+        for d in ds:
+            term = self.multiply_plain(
+                baby[d % n1], np.roll(diags[d], j * n1)
+            )
+            inner = term if inner is None else self.add(inner, term)
+        if j:
+            inner = self.rotate(inner, (j * n1) % slots)
+        out = inner if out is None else self.add(out, inner)
+    return out
+
+
+DeviceCkksEvaluator.linear_transform = _evaluator_linear_transform

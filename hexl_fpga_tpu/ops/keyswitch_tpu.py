@@ -174,6 +174,73 @@ class KeySwitchTpuContext:
 
     # -- jitted body --------------------------------------------------------
 
+    @staticmethod
+    def _mac_term(acc, val, key, kp):
+        """One Harvey lazy MAC term with (a) the APPROXIMATE quotient (one
+        fewer 32x32 partial product per term) and (b) the Q*q subtraction
+        DEFERRED across the whole sum: accumulate sum(w_i*x_i mod 2^64) and
+        sum(Q_i) separately and subtract (sum Q)*q ONCE per engine-component
+        (_mac_close) — exact because the true value sum(w_i x_i - Q_i q) is
+        a sum of [0, 4q) terms, < 28q < 2^58 for q <= 2^52, so the mod-2^64
+        arithmetic is lossless.  Replaces 10 32x32 partials per term with 6
+        (+3 once at close); the downstream two-correction Barrett
+        canonicalizes exactly."""
+        Q = w.mulhi64_approx(val, kp)
+        wx = w.mullo64(key, val)
+        if acc is None:
+            return (wx, Q)
+        return (w.add64(acc[0], wx), w.add64(acc[1], Q))
+
+    @staticmethod
+    def _mac_close(acc, q):
+        """(sum wx mod 2^64, sum Q) -> the lazy u64 sum < 28q."""
+        return w.sub64(acc[0], w.mullo64(acc[1], q))
+
+    def _tail_j(self, j, e, acc, res, msf4):
+        """Per-decomp-modulus tail: INTT2 output e ((comp*B, n), canonical
+        under q_k), lazy MAC accumulators acc ([comp] of (B, n) pairs), and
+        caller result rows res ([comp] of (B, n) pairs) -> canonical output
+        rows per component.  Fused-tail contexts run the single Pallas
+        kernel; otherwise the XLA composition (`ms.hpp:27-84` analog)."""
+        q = self.moduli[j]
+        comp = self.comp
+        B = acc[0][0].shape[0]
+        if self.fused_tail:
+            # ONE kernel: +fix prologue, tail NTT, Barrett of both the
+            # transform output and the LAZY accumulator, ms, accumulate
+            acc_l = jnp.concatenate([acc[k][0] for k in range(comp)])
+            acc_h = jnp.concatenate([acc[k][1] for k in range(comp)])
+            res_l = jnp.concatenate([res[k][0] for k in range(comp)])
+            res_h = jnp.concatenate([res[k][1] for k in range(comp)])
+            el, eh, _ = _pad_rows(e[0], e[1], self.tile_p)
+            al, ah, _ = _pad_rows(acc_l, acc_h, self.tile_p)
+            rl, rh, _ = _pad_rows(res_l, res_h, self.tile_p)
+            ol, oh = self._tail[j](el, eh, al, ah, rl, rh, msf4[j])
+            return [
+                (ol[k * B : (k + 1) * B], oh[k * B : (k + 1) * B])
+                for k in range(comp)
+            ]
+        fix = q - (self.qk_half % q)
+        acc = [w.barrett_reduce64(a, q, self.q_barr[j]) for a in acc]
+        # tail transforms: f = e + fix (< q_k + q_j < 2^53, unreduced)
+        f = w.add64(e, fix)
+        vlo, vhi = self._transform(self._fwd, j, f[0], f[1])
+        # modswitch tail (`ms.hpp:27-84`) + host-style accumulate; the
+        # lazy-output transform's u64 representative reduces here
+        outs = []
+        for k in range(comp):
+            g = w.barrett_reduce64(
+                (vlo[k * B : (k + 1) * B], vhi[k * B : (k + 1) * B]),
+                q, self.q_barr[j],
+            )
+            t1 = w.reduce_mod_factor(
+                w.add64(w.sub64(acc[k], g), 4 * q), q, 8
+            )
+            msf = (msf4[j, 0], msf4[j, 1])
+            delta = w.mul_mod_static(t1, msf, q)
+            outs.append(w.cond_sub64(w.add64(res[k], delta), q))
+        return outs
+
     def _transform(self, which, j, lo, hi):
         """Run a fused transform under modulus j on (Bx, n) with padding."""
         lo, hi, B = _pad_rows(lo, hi, self.tile_p)
@@ -214,27 +281,12 @@ class KeySwitchTpuContext:
         ]
 
         def mac(acc, val, i, k, j, q):
-            # Harvey lazy multiply with (a) the APPROXIMATE quotient (one
-            # fewer 32x32 partial product per term) and (b) the Q*q
-            # subtraction DEFERRED across the whole sum: accumulate
-            # sum(w_i*x_i mod 2^64) and sum(Q_i) separately and subtract
-            # (sum Q)*q ONCE per engine-component (mac_close) — exact
-            # because the true value sum(w_i x_i - Q_i q) is a sum of
-            # [0, 4q) terms, < 28q < 2^58 for q <= 2^52, so the mod-2^64
-            # arithmetic is lossless.  Replaces 10 32x32 partials per term
-            # with 6 (+3 once at close); the downstream two-correction
-            # Barrett canonicalizes exactly.
+            # deferred-quotient Harvey lazy MAC (see _mac_term)
             key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
             kp = (kp_lo[i, k, j, :], kp_hi[i, k, j, :])
-            Q = w.mulhi64_approx(val, kp)
-            wx = w.mullo64(key, val)
-            if acc is None:
-                return (wx, Q)
-            return (w.add64(acc[0], wx), w.add64(acc[1], Q))
+            return self._mac_term(acc, val, key, kp)
 
-        def mac_close(acc, q):
-            """(sum wx mod 2^64, sum Q) -> the lazy u64 sum < 28q."""
-            return w.sub64(acc[0], w.mullo64(acc[1], q))
+        mac_close = self._mac_close
 
         # the stacked INTT1 outputs feed every engine UNREDUCED (the
         # transforms are wide-input; see __init__): one concat, reused by
@@ -294,53 +346,16 @@ class KeySwitchTpuContext:
         out_hi = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
         for j in range(L):
             q = moduli[j]
-            fix = q - (qk_half % q)
             acc = engine_acc(
                 j, q, self._mac[j] if self.fused_mac else None, True
             )
-            if self.fused_tail:
-                # ONE kernel: +fix prologue, tail NTT, Barrett of both the
-                # transform output and the LAZY accumulator, ms, accumulate
-                acc_l = jnp.concatenate([acc[k][0] for k in range(comp)])
-                acc_h = jnp.concatenate([acc[k][1] for k in range(comp)])
-                res_l = jnp.concatenate(
-                    [res_lo[:, k, j, :] for k in range(comp)]
-                )
-                res_h = jnp.concatenate(
-                    [res_hi[:, k, j, :] for k in range(comp)]
-                )
-                el, eh, R0 = _pad_rows(e[0], e[1], self.tile_p)
-                al, ah, _ = _pad_rows(acc_l, acc_h, self.tile_p)
-                rl, rh, _ = _pad_rows(res_l, res_h, self.tile_p)
-                ol, oh = self._tail[j](el, eh, al, ah, rl, rh, msf4[j])
-                for k in range(comp):
-                    out_lo = out_lo.at[:, k, j, :].set(
-                        ol[k * B : (k + 1) * B]
-                    )
-                    out_hi = out_hi.at[:, k, j, :].set(
-                        oh[k * B : (k + 1) * B]
-                    )
-                continue
-            acc = [w.barrett_reduce64(a, q, self.q_barr[j]) for a in acc]
-            # tail transforms: f = e + fix (< q_k + q_j < 2^53, unreduced)
-            f = w.add64(e, fix)
-            vlo, vhi = self._transform(self._fwd, j, f[0], f[1])
-            # modswitch tail (`ms.hpp:27-84`) + host-style accumulate; the
-            # lazy-output transform's u64 representative reduces here
+            res = [
+                (res_lo[:, k, j, :], res_hi[:, k, j, :]) for k in range(comp)
+            ]
+            outs = self._tail_j(j, e, acc, res, msf4)
             for k in range(comp):
-                g = w.barrett_reduce64(
-                    (vlo[k * B : (k + 1) * B], vhi[k * B : (k + 1) * B]),
-                    q, self.q_barr[j],
-                )
-                t1 = w.reduce_mod_factor(
-                    w.add64(w.sub64(acc[k], g), 4 * q), q, 8
-                )
-                msf = (msf4[j, 0], msf4[j, 1])
-                delta = w.mul_mod_static(t1, msf, q)
-                r_in = (res_lo[:, k, j, :], res_hi[:, k, j, :])
-                r_out = w.cond_sub64(w.add64(r_in, delta), q)
-                out_lo = out_lo.at[:, k, j, :].set(r_out[0])
-                out_hi = out_hi.at[:, k, j, :].set(r_out[1])
+                out_lo = out_lo.at[:, k, j, :].set(outs[k][0])
+                out_hi = out_hi.at[:, k, j, :].set(outs[k][1])
         return out_lo[:B0], out_hi[:B0]
 
     def _build32(self, t32, r32, keys_lo, keys_hi, kp_lo, kp_hi, msf4):
@@ -589,6 +604,162 @@ class KeySwitchTpuContext:
         out32 = self._fn32(target.data32, ct.data32, klo, khi, plo, phi,
                            msf4)
         return DeviceCiphertext(out32, self)
+
+    # -- hoisted keyswitch (decompose once, apply many) ---------------------
+    #
+    # Halevi-Shoup hoisting: the expensive PREFIX of the keyswitch — INTT1
+    # of every decomp limb plus the forward NTT into EVERY engine modulus
+    # (48 of the 62 transform rows at 16384_6_7_7_2) — depends only on the
+    # target, not on the key or the Galois automorphism.  Computing it once
+    # and reusing it across many applies turns each additional rotation of
+    # the same ciphertext into {one NTT-domain gather + the 84-term MAC +
+    # INTT2 + the 12 fused tail rows}: ~4.4x less transform work per
+    # rotation.  The reference has no hoisting concept (every KeySwitch call
+    # re-runs the full dataflow, `host/src/fpga.cpp:1049-1068`); this is a
+    # TPU-first extension in the style of lattigo's RotateHoisted.
+
+    def _decompose(self, t_lo, t_hi):
+        """(B, L, n) canonical NTT-domain targets -> the hoisted
+        decomposition (K, L*B, n) of LAZY u64 representatives:
+        D[j, i*B+b] = NTT_{q_j}(INTT1_{q_i}(t[b, i])) — limb i's canonical
+        coefficient lift, transformed into every engine modulus by the
+        wide-input kernels (no Barrett pass in front)."""
+        L, K = self.L, self.K
+        coeff = [
+            self._transform(self._inv, i, t_lo[:, i, :], t_hi[:, i, :])
+            for i in range(L)
+        ]
+        stack_lo = jnp.concatenate([c[0] for c in coeff])
+        stack_hi = jnp.concatenate([c[1] for c in coeff])
+        ds = [
+            self._transform(self._fwd, j, stack_lo, stack_hi)
+            for j in range(K)
+        ]
+        return jnp.stack([d[0] for d in ds]), jnp.stack([d[1] for d in ds])
+
+    def _apply_hoisted(self, dlo, dhi, res_lo, res_hi, keys_lo, keys_hi,
+                       kp_lo, kp_hi, msf4, perm=None):
+        """Keyswitch from a hoisted decomposition D (see _decompose).
+
+        perm, an optional (n,) int32 NTT-domain permutation (the Galois
+        sigma of ckks._ntt_galois_sigma), automorphs the DECOMPOSED target
+        before the MAC: perm(D)[j] row i is NTT_j(tau_g^int(y_i)) with the
+        SAME small integer representative tau_g^int(y_i) (coefficients in
+        (-q_i, q_i)) under every engine modulus — a valid gadget
+        decomposition of the rotated target, so the result is a correct
+        keyswitch of the automorphed ciphertext.  It is NOT bit-identical
+        to rotate-then-decompose (the canonical lift differs by q_i at
+        sign-wrapped coefficients) — the standard hoisting trade.  With
+        perm=None the output IS bit-identical to _build: every MAC input
+        has the same residue (D[j] row j is a lazy representative of the
+        target itself), and the tails canonicalize."""
+        n, L, K, comp = self.n, self.L, self.K, self.comp
+        moduli = self.moduli
+        qk, qk_half = self.qk, self.qk_half
+        B = res_lo.shape[0]
+        if perm is not None:
+            dlo = dlo[:, :, perm]
+            dhi = dhi[:, :, perm]
+
+        def engine_acc(j, q):
+            acc = [None] * comp
+            for i in range(L):
+                val = (dlo[j, i * B : (i + 1) * B],
+                       dhi[j, i * B : (i + 1) * B])
+                for k in range(comp):
+                    key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
+                    kp = (kp_lo[i, k, j, :], kp_hi[i, k, j, :])
+                    acc[k] = self._mac_term(acc[k], val, key, kp)
+            return [self._mac_close(a, q) for a in acc]
+
+        # special engine + INTT2 (identical schedule to _build)
+        sp = K - 1
+        acc_sp = engine_acc(sp, qk)
+        acc_sp = [
+            w.barrett_reduce64(a, qk, self.q_barr[sp]) for a in acc_sp
+        ]
+        dlo2, dhi2 = self._transform(
+            self._inv, sp,
+            jnp.concatenate([acc_sp[k][0] for k in range(comp)]),
+            jnp.concatenate([acc_sp[k][1] for k in range(comp)]),
+        )
+        e = w.add_mod((dlo2, dhi2), qk_half, qk)
+
+        out_lo = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
+        out_hi = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
+        for j in range(L):
+            acc = engine_acc(j, moduli[j])
+            res = [
+                (res_lo[:, k, j, :], res_hi[:, k, j, :]) for k in range(comp)
+            ]
+            outs = self._tail_j(j, e, acc, res, msf4)
+            for k in range(comp):
+                out_lo = out_lo.at[:, k, j, :].set(outs[k][0])
+                out_hi = out_hi.at[:, k, j, :].set(outs[k][1])
+        return out_lo, out_hi
+
+    def hoist(self, target) -> "DeviceDecomposition":
+        """Decompose a keyswitch target ONCE for reuse across many
+        run_hoisted applies (different keys and/or Galois permutations of
+        the same target).  target: DeviceTarget or host (B, L*n) u64."""
+        if not isinstance(target, DeviceTarget):
+            target = self.stage_target(np.asarray(target, dtype=np.uint64))
+        assert target.ctx is self
+        if not hasattr(self, "_hoist_fn"):
+            def fn(t32):
+                return self._decompose(*w.deinterleave_jnp(t32))
+
+            self._hoist_fn = jax.jit(fn)
+        dlo, dhi = self._hoist_fn(target.data32)
+        return DeviceDecomposition(dlo, dhi, self)
+
+    def run_hoisted(self, dec, ct, k_switch_keys, modswitch_factors,
+                    perm=None) -> "DeviceCiphertext":
+        """Apply a keyswitch from a hoisted decomposition, accumulating into
+        ct (handle or host (B, comp*L*n) u64).  perm, if given, is an (n,)
+        NTT-domain Galois permutation; it is a TRACED argument, so every
+        rotation step of a hoisted batch shares one compiled program."""
+        if not isinstance(ct, DeviceCiphertext):
+            ct = self.stage_ciphertext(np.asarray(ct, dtype=np.uint64))
+        assert dec.ctx is self and ct.ctx is self
+        klo, khi, plo, phi = self.device_keys(k_switch_keys)
+        msf4 = self.prepare_msf4(modswitch_factors)
+        has_perm = perm is not None
+        if not hasattr(self, "_hoisted_fns"):
+            self._hoisted_fns = {}
+        if has_perm not in self._hoisted_fns:
+            def fn(dlo, dhi, ct32, a, b, c, d, m4, *p):
+                r_lo, r_hi = w.deinterleave_jnp(ct32)
+                olo, ohi = self._apply_hoisted(
+                    dlo, dhi, r_lo, r_hi, a, b, c, d, m4,
+                    perm=p[0] if p else None,
+                )
+                return w.interleave_jnp(olo, ohi)
+
+            self._hoisted_fns[has_perm] = jax.jit(fn)
+        args = (dec.dlo, dec.dhi, ct.data32, klo, khi, plo, phi, msf4)
+        if has_perm:
+            args = args + (jnp.asarray(perm, dtype=jnp.int32),)
+        return DeviceCiphertext(self._hoisted_fns[has_perm](*args), self)
+
+
+class DeviceDecomposition:
+    """Hoisted keyswitch prefix resident on device: (K, L*B, n) lazy-u64
+    plane pair D[j] = NTT_j(INTT1_i(t_i)) of a target, reusable across many
+    run_hoisted calls (~5.3 MB at 16384_6_7_7_2, B=1)."""
+
+    def __init__(self, dlo, dhi, ctx: "KeySwitchTpuContext"):
+        self.dlo = dlo
+        self.dhi = dhi
+        self.ctx = ctx
+
+    @property
+    def batch(self) -> int:
+        return self.dlo.shape[1] // self.ctx.L
+
+    def block_until_ready(self):
+        self.dlo.block_until_ready()
+        return self
 
 
 class DeviceCiphertext:

@@ -215,3 +215,52 @@ def test_device_evaluator_plain_ops_match_host(ctx, ev):
     want_mul = ctx.multiply_plain(ct, p)
     np.testing.assert_array_equal(got_mul.data, want_mul.data)
     assert got_mul.scale == want_mul.scale
+
+
+def test_device_evaluator_hoisted_rotations(ctx, ev):
+    """Hoisted rotations (decompose once, rotate many): each rotation from
+    one hoisted decomposition decrypts to the rotated slots.  Hoisting
+    automorphs the DECOMPOSED target by NTT-domain permutation — a valid
+    gadget decomposition that is not bit-identical to rotate-then-decompose
+    (the standard Halevi-Shoup trade), so correctness is checked at the
+    plaintext level against the non-hoisted rotation."""
+    rng = np.random.default_rng(10)
+    z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)
+    ct = ctx.encrypt(z)
+    h = ev.stage(ct)
+    outs = ev.rotate_many(h, [0, 1, 3])
+    assert outs[0] is h                       # trivial step: no keyswitch
+    for r, o in zip([0, 1, 3], outs):
+        back = ctx.decrypt(ev.to_host(o))
+        want = np.roll(z, -r)
+        assert np.max(np.abs(back - want)) < 1e-2, f"rotation {r}"
+        # hoisted noise stays in the same class as the plain rotation
+        plain = ctx.decrypt(ev.to_host(ev.rotate(h, r))) if r else z
+        assert np.max(np.abs(back - want)) < 10 * max(
+            1e-4, np.max(np.abs(plain - want))
+        )
+
+
+def test_device_evaluator_conjugate_hoisted(ctx, ev):
+    rng = np.random.default_rng(11)
+    z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)
+    h = ev.stage(ctx.encrypt(z))
+    back = ctx.decrypt(ev.to_host(ev.conjugate_hoisted(ev.hoist(h))))
+    assert np.max(np.abs(back - np.conj(z))) < 1e-2
+
+
+def test_device_evaluator_linear_transform(ctx, ev):
+    """BSGS diagonal-method matrix-vector product on device (hoisted baby
+    rotations + giant-step keyswitches) decrypts to sum_d u_d * rot_d(z)."""
+    rng = np.random.default_rng(12)
+    z = rng.standard_normal(ctx.slots) * 0.5 + 1j * rng.standard_normal(
+        ctx.slots) * 0.5
+    diags = {
+        d: rng.standard_normal(ctx.slots) * 0.5 for d in (0, 1, 5, 17)
+    }
+    want = sum(diags[d] * np.roll(z, -d) for d in diags)
+    h = ev.stage(ctx.encrypt(z))
+    out = ev.linear_transform(h, diags, bsgs_n1=4)
+    assert abs(out.scale - ctx.scale * ctx.scale) < 1e-3 * out.scale
+    back = ctx.decrypt(ev.to_host(out))
+    assert np.max(np.abs(back - want)) < 1e-2

@@ -201,3 +201,25 @@ def test_run_device_chain_matches_sequential(vec):
         vec.modswitch_factors, depth=3,
     )
     np.testing.assert_array_equal(chained.to_host(), cur.to_host())
+
+
+def test_hoisted_keyswitch_matches_run_batch(vec):
+    """run_hoisted(perm=None) must be BIT-IDENTICAL to run_batch: every MAC
+    input carries the same residue (D[j] row j is a lazy representative of
+    the target itself) and the tails canonicalize."""
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
+        tile_p=2, interpret=True,
+    )
+    dec = ctx.hoist(np.asarray(vec.t_target_iter_ptr, np.uint64)[None])
+    out = ctx.run_hoisted(
+        dec, np.asarray(vec.input, np.uint64)[None], vec.key_vectors,
+        vec.modswitch_factors,
+    )
+    np.testing.assert_array_equal(out.to_host()[0], vec.expected_output)
+    # identity permutation == no permutation (the perm path itself is exact)
+    out2 = ctx.run_hoisted(
+        dec, np.asarray(vec.input, np.uint64)[None], vec.key_vectors,
+        vec.modswitch_factors, perm=np.arange(1024, dtype=np.int32),
+    )
+    np.testing.assert_array_equal(out2.to_host()[0], vec.expected_output)
