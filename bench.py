@@ -247,6 +247,51 @@ def bench_keyswitch(extras):
         i1=2, i2=8,
     )
     dev = B / dt
+
+    # --- hoisted applies (decompose once, apply many; Halevi-Shoup) ------
+    # models the CKKS rotation pattern: the keyswitch prefix (INTT1 + all
+    # engine NTTs) is computed once, each chain step applies a DIFFERENT
+    # Galois sigma gather + MAC + INTT2 + tail.  Per-step varying perms keep
+    # the body out of XLA's loop-invariant code motion; the accumulator
+    # chains step to step.  Bit-exactness gated via run_hoisted(perm=None)
+    # == the frozen vector.
+    try:
+        if os.environ.get("BENCH_NO_HOISTED") != "1":
+            from hexl_fpga_tpu.integrations.ckks import _ntt_galois_sigma
+
+            dec = ctx.hoist(ts)
+            outh = call_with_retry(
+                ctx.run_hoisted, dec, rs, vec.key_vectors,
+                vec.modswitch_factors,
+            )
+            np.testing.assert_array_equal(
+                outh.to_host()[0], vec.expected_output
+            )
+            log("[keyswitch] hoisted bit-exact vs frozen vector: OK")
+            S = 8
+            perm_tab = jnp.asarray(np.stack([
+                _ntt_galois_sigma(n, pow(5, s + 1, 2 * n)) for s in range(S)
+            ]).astype(np.int32))
+
+            def hstep(i, rlo, rhi):
+                olo, ohi = ctx._apply_hoisted(
+                    dec.dlo, dec.dhi, rlo, rhi, *keys, msf4,
+                    perm=perm_tab[jnp.remainder(i, S)],
+                )
+                return i + 1, olo, ohi
+
+            dt_h = chain_timer(
+                hstep,
+                (jnp.int32(0), jnp.asarray(r[0]), jnp.asarray(r[1])),
+                i1=2, i2=8,
+            )
+            extras["keyswitch_hoisted_device_op_per_s"] = round(B / dt_h, 1)
+            extras["keyswitch_hoisted_speedup_x"] = round(dt / dt_h, 2)
+            log(f"[keyswitch] hoisted {B/dt_h:.0f} op/s "
+                f"({dt/dt_h:.2f}x the full keyswitch)")
+    except Exception as exc:  # pragma: no cover
+        log(f"hoisted bench failed: {type(exc).__name__}: {exc}")
+
     log(f"[keyswitch] device {dev:.0f} op/s, chained(depth {depth}) "
         f"{chained:.0f} op/s, e2e {e2e:.0f} op/s (batch {B})")
     return dev, e2e, chained

@@ -821,19 +821,73 @@ def _evaluator_apply_galois_hoisted(self, hh, g: int):
     return DeviceCkksCiphertext(out32, hh.level, hh.scale)
 
 
-def _evaluator_rotate_many(self, h: DeviceCkksCiphertext,
-                           steps) -> "list[DeviceCkksCiphertext]":
+def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
+                           fused: bool = True
+                           ) -> "list[DeviceCkksCiphertext]":
     """Rotate h by every step in `steps`, hoisting the keyswitch prefix
-    once.  Step 0 returns h itself (no keyswitch needed)."""
-    nontrivial = [r for r in steps if r % (self.ctx.slots) != 0]
+    once.  Step 0 returns h itself (no keyswitch needed).
+
+    fused=True (default) runs ALL nontrivial rotations in ONE compiled
+    lax.scan — the per-step sigma permutations and Galois key tensors ride
+    the scan as inputs, so the whole batch is a single device dispatch
+    (one program compile per level, any step set).  fused=False dispatches
+    rotate_hoisted per step (same math, S dispatches)."""
+    import jax
+    import jax.numpy as jnp
+
+    nontrivial = [r for r in steps if r % self.ctx.slots != 0]
     hh = self.hoist(h) if nontrivial else None
-    out = []
-    for r in steps:
-        if r % self.ctx.slots == 0:
-            out.append(h)
-        else:
-            out.append(self.rotate_hoisted(hh, r))
-    return out
+    if not fused or len(nontrivial) <= 1:
+        by_step = {
+            r: self.rotate_hoisted(hh, r) for r in set(nontrivial)
+        }
+        return [h if r % self.ctx.slots == 0 else by_step[r] for r in steps]
+
+    from ..ops import word64 as w
+
+    nl = h.level + 1
+    ks = self._ks_ctx(nl)
+    uniq = sorted(set(nontrivial))
+    gs = [pow(5, r, 2 * self.ctx.n) for r in uniq]
+    if not hasattr(self, "_sigma_n"):
+        self._sigma_n = {}
+    for g in gs:
+        if g not in self._sigma_n:
+            self._sigma_n[g] = jnp.asarray(
+                _ntt_galois_sigma(self.ctx.n, g).astype(np.int32)
+            )
+    keysets = [ks.device_keys(self.ctx._galois_keys_for(g)) for g in gs]
+    kstack = tuple(
+        jnp.stack([kset[i] for kset in keysets]) for i in range(4)
+    )
+    perms = jnp.stack([self._sigma_n[g] for g in gs])
+    msf4 = ks.prepare_msf4(self.ctx.modswitch_factors)
+    key = ("rot_many", nl)
+    if key not in self._rot_fn:
+        def fn(dlo, dhi, data32, sperms, klo, khi, plo, phi, m4):
+            lo, hi = w.deinterleave_jnp(data32)    # (2, nl, n)
+
+            def body(carry, xs):
+                s_idx, a, b, c, d = xs
+                c0p_lo = lo[0][:, s_idx]
+                c0p_hi = hi[0][:, s_idx]
+                res_lo = jnp.stack([c0p_lo, jnp.zeros_like(c0p_lo)])[None]
+                res_hi = jnp.stack([c0p_hi, jnp.zeros_like(c0p_hi)])[None]
+                olo, ohi = ks._apply_hoisted(
+                    dlo, dhi, res_lo, res_hi, a, b, c, d, m4, perm=s_idx
+                )
+                return carry, w.interleave_jnp(olo, ohi)[0]
+
+            _, outs = jax.lax.scan(body, 0, (sperms,) + (klo, khi, plo, phi))
+            return outs                            # (S, 2, nl, 2n)
+
+        self._rot_fn[key] = jax.jit(fn)
+    outs = self._rot_fn[key](hh.dlo, hh.dhi, hh.data32, perms, *kstack, msf4)
+    by_step = {
+        r: DeviceCkksCiphertext(outs[s], h.level, h.scale)
+        for s, r in enumerate(uniq)
+    }
+    return [h if r % self.ctx.slots == 0 else by_step[r] for r in steps]
 
 
 DeviceCkksEvaluator.hoist = _evaluator_hoist
@@ -871,12 +925,9 @@ def _evaluator_linear_transform(self, h: DeviceCkksCiphertext, diagonals,
     groups: "dict[int, list[int]]" = {}
     for d in sorted(diags):
         groups.setdefault(d // n1, []).append(d)
-    # baby rotations from one hoisted decomposition
+    # baby rotations from one hoisted decomposition, all in one fused scan
     baby_needed = sorted({d % n1 for d in diags})
-    hh = self.hoist(h) if any(i != 0 for i in baby_needed) else None
-    baby = {
-        i: (h if i == 0 else self.rotate_hoisted(hh, i)) for i in baby_needed
-    }
+    baby = dict(zip(baby_needed, self.rotate_many(h, baby_needed)))
     out = None
     for j, ds in groups.items():
         inner = None

@@ -241,6 +241,19 @@ def test_device_evaluator_hoisted_rotations(ctx, ev):
         )
 
 
+def test_device_evaluator_rotate_many_fused_matches_unfused(ctx, ev):
+    """The fused scan (one dispatch for all steps) computes exactly the
+    same integers as per-step rotate_hoisted dispatches."""
+    rng = np.random.default_rng(13)
+    z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)
+    h = ev.stage(ctx.encrypt(z))
+    unfused = ev.rotate_many(h, [1, 3], fused=False)
+    fused = ev.rotate_many(h, [1, 3], fused=True)
+    for a, b in zip(unfused, fused):
+        np.testing.assert_array_equal(np.asarray(a.data32),
+                                      np.asarray(b.data32))
+
+
 def test_device_evaluator_conjugate_hoisted(ctx, ev):
     rng = np.random.default_rng(11)
     z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)
