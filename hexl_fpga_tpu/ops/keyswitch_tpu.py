@@ -722,6 +722,9 @@ class KeySwitchTpuContext:
         if not isinstance(ct, DeviceCiphertext):
             ct = self.stage_ciphertext(np.asarray(ct, dtype=np.uint64))
         assert dec.ctx is self and ct.ctx is self
+        assert dec.batch == ct.batch, (
+            f"decomposition batch {dec.batch} != ciphertext batch {ct.batch}"
+        )
         klo, khi, plo, phi = self.device_keys(k_switch_keys)
         msf4 = self.prepare_msf4(modswitch_factors)
         has_perm = perm is not None
