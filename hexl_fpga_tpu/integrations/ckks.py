@@ -745,7 +745,7 @@ DeviceCkksEvaluator.multiply_plain = _evaluator_multiply_plain
 class DeviceHoistedCiphertext:
     """A ciphertext + the hoisted decomposition of its c1, on device."""
 
-    dlo: "object"     # (K, nl, n) lazy engine-domain decomposition planes
+    dlo: "object"     # (nl+1, nl, n) lazy engine-domain planes (active only)
     dhi: "object"
     data32: "object"  # the (2, nl, 2n) interleaved ciphertext (for c0)
     level: int

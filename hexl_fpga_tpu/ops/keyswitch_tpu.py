@@ -620,10 +620,14 @@ class KeySwitchTpuContext:
 
     def _decompose(self, t_lo, t_hi):
         """(B, L, n) canonical NTT-domain targets -> the hoisted
-        decomposition (K, L*B, n) of LAZY u64 representatives:
-        D[j, i*B+b] = NTT_{q_j}(INTT1_{q_i}(t[b, i])) — limb i's canonical
-        coefficient lift, transformed into every engine modulus by the
-        wide-input kernels (no Barrett pass in front)."""
+        decomposition (L+1, L*B, n) of LAZY u64 representatives over the
+        ACTIVE engines only — plane j < L is decomp modulus q_j, plane L is
+        the special modulus q_{K-1} (inactive moduli L..K-2 are never read
+        by the apply, so their transforms are skipped; at a reduced CKKS
+        level K - L - 1 of them exist):
+        D[p, i*B+b] = NTT_{q(p)}(INTT1_{q_i}(t[b, i])) — limb i's canonical
+        coefficient lift, transformed by the wide-input kernels (no Barrett
+        pass in front)."""
         L, K = self.L, self.K
         coeff = [
             self._transform(self._inv, i, t_lo[:, i, :], t_hi[:, i, :])
@@ -633,7 +637,7 @@ class KeySwitchTpuContext:
         stack_hi = jnp.concatenate([c[1] for c in coeff])
         ds = [
             self._transform(self._fwd, j, stack_lo, stack_hi)
-            for j in range(K)
+            for j in list(range(L)) + [K - 1]
         ]
         return jnp.stack([d[0] for d in ds]), jnp.stack([d[1] for d in ds])
 
@@ -661,11 +665,13 @@ class KeySwitchTpuContext:
             dlo = dlo[:, :, perm]
             dhi = dhi[:, :, perm]
 
-        def engine_acc(j, q):
+        def engine_acc(plane, j, q):
+            # plane indexes the compact (L+1)-plane decomposition
+            # (see _decompose); j indexes the key tensors' K moduli.
             acc = [None] * comp
             for i in range(L):
-                val = (dlo[j, i * B : (i + 1) * B],
-                       dhi[j, i * B : (i + 1) * B])
+                val = (dlo[plane, i * B : (i + 1) * B],
+                       dhi[plane, i * B : (i + 1) * B])
                 for k in range(comp):
                     key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
                     kp = (kp_lo[i, k, j, :], kp_hi[i, k, j, :])
@@ -674,7 +680,7 @@ class KeySwitchTpuContext:
 
         # special engine + INTT2 (identical schedule to _build)
         sp = K - 1
-        acc_sp = engine_acc(sp, qk)
+        acc_sp = engine_acc(L, sp, qk)
         acc_sp = [
             w.barrett_reduce64(a, qk, self.q_barr[sp]) for a in acc_sp
         ]
@@ -688,7 +694,7 @@ class KeySwitchTpuContext:
         out_lo = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
         out_hi = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
         for j in range(L):
-            acc = engine_acc(j, moduli[j])
+            acc = engine_acc(j, j, moduli[j])
             res = [
                 (res_lo[:, k, j, :], res_hi[:, k, j, :]) for k in range(comp)
             ]
@@ -747,8 +753,9 @@ class KeySwitchTpuContext:
 
 
 class DeviceDecomposition:
-    """Hoisted keyswitch prefix resident on device: (K, L*B, n) lazy-u64
-    plane pair D[j] = NTT_j(INTT1_i(t_i)) of a target, reusable across many
+    """Hoisted keyswitch prefix resident on device: (L+1, L*B, n) lazy-u64
+    plane pair over the ACTIVE engines (planes 0..L-1 = decomp moduli,
+    plane L = the special modulus; see _decompose), reusable across many
     run_hoisted calls (~5.3 MB at 16384_6_7_7_2, B=1)."""
 
     def __init__(self, dlo, dhi, ctx: "KeySwitchTpuContext"):

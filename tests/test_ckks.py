@@ -241,6 +241,23 @@ def test_device_evaluator_hoisted_rotations(ctx, ev):
         )
 
 
+def test_device_evaluator_hoisted_rotation_reduced_level(ctx, ev):
+    """Hoisted rotation AFTER a rescale: the level drops (nl < K-1), so the
+    compact hoisted decomposition (L+1 active planes, inactive moduli
+    skipped) must still index the special engine correctly.  Exercises the
+    K > L+1 plane layout that top-level tests never reach."""
+    rng = np.random.default_rng(14)
+    z = rng.standard_normal(ctx.slots) * 0.5
+    p = rng.uniform(0.5, 1.5, size=ctx.slots)
+    h = ev.rescale(ev.multiply_plain(ev.stage(ctx.encrypt(z)), p))
+    assert h.level + 1 < ctx.K - 1  # genuinely reduced: inactive moduli exist
+    outs = ev.rotate_many(h, [1, 3])
+    for r, o in zip([1, 3], outs):
+        back = ctx.decrypt(ev.to_host(o))
+        want = np.roll(z * p, -r)
+        assert np.max(np.abs(back - want)) < 1e-2, f"rotation {r}"
+
+
 def test_device_evaluator_rotate_many_fused_matches_unfused(ctx, ev):
     """The fused scan (one dispatch for all steps) computes exactly the
     same integers as per-step rotate_hoisted dispatches."""
