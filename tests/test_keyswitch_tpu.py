@@ -223,3 +223,29 @@ def test_hoisted_keyswitch_matches_run_batch(vec):
         vec.modswitch_factors, perm=np.arange(1024, dtype=np.int32),
     )
     np.testing.assert_array_equal(out2.to_host()[0], vec.expected_output)
+
+
+def test_hoisted_keyswitch_compact_planes_reduced_level():
+    """K > L+1 (an INACTIVE modulus between the level and the special
+    prime): the hoisted decomposition must hold only L+1 compact planes —
+    decomp moduli then the special prime — skipping inactive transforms,
+    and run_hoisted must still be bit-identical to run_batch."""
+    v = vectors.make_keyswitch_vector(1024, 2, 4, seed=3, modulus_bits=45)
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 4, 3, 2, v.moduli, v.twiddle_factors,
+        tile_p=2, interpret=True,
+    )
+    assert ctx.K > ctx.L + 1
+    want = ctx.run_batch(
+        np.asarray(v.input, np.uint64)[None],
+        np.asarray(v.t_target_iter_ptr, np.uint64)[None],
+        v.key_vectors, v.modswitch_factors,
+    )[0]
+    np.testing.assert_array_equal(want, v.expected_output)
+    dec = ctx.hoist(np.asarray(v.t_target_iter_ptr, np.uint64)[None])
+    assert dec.dlo.shape[0] == ctx.L + 1, dec.dlo.shape
+    out = ctx.run_hoisted(
+        dec, np.asarray(v.input, np.uint64)[None], v.key_vectors,
+        v.modswitch_factors,
+    )
+    np.testing.assert_array_equal(out.to_host()[0], v.expected_output)
