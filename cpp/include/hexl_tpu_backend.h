@@ -95,7 +95,11 @@ void hexl_tpu_register_backend(const hexl_tpu_backend_v1* backend);
 // The scheduler guarantees the `ops` array and every pointer inside it stay
 // valid until finalize_batch returns for that handle, and that at most one
 // batch per worker is in flight (submit i+1 happens before finalize i — the
-// overlap window).  On TPU the natural implementation is JAX async dispatch:
+// overlap window).  When batch i+1's input buffers (including the KeySwitch
+// accumulate-into `result` and the in-place NTT `operand`) alias buffers
+// batch i has yet to write, the scheduler finalizes batch i BEFORE the
+// submit, so a submit may always snapshot its inputs immediately.
+// On TPU the natural implementation is JAX async dispatch:
 // submit = host staging + jitted call (returns device futures), finalize =
 // fetch + demux.
 // ---------------------------------------------------------------------------

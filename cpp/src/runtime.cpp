@@ -229,6 +229,72 @@ void DevicePool::MarkReady(const std::vector<WorkItem*>& batch) {
   item_done_.notify_all();
 }
 
+namespace {
+
+// Read-after-write hazard between a submitted-not-finalized batch and the
+// batch about to be submitted.  v2 submit SNAPSHOTS every input buffer —
+// including KeySwitch `result` (accumulate-into) and the in-place NTT
+// `operand` — before the pending batch's finalize writes its results, so
+// any overlap between a pending WRITE range and a new SNAPSHOT-READ range
+// must drain the pipeline first (the v1/native path is immune: it
+// finalizes before running the next batch).
+struct MemRange {
+  uintptr_t lo, hi;
+};
+
+inline void AddRange(std::vector<MemRange>* v, const void* p, uint64_t words) {
+  if (!p || !words) return;
+  auto lo = reinterpret_cast<uintptr_t>(p);
+  v->push_back({lo, lo + words * sizeof(uint64_t)});
+}
+
+void WriteRanges(const WorkItem& it, std::vector<MemRange>* v) {
+  switch (it.type) {
+    case OpType::kDyadicMultiply:
+      AddRange(v, it.dyadic.results, 3 * it.dyadic.n_moduli * it.dyadic.n);
+      break;
+    case OpType::kKeySwitch:
+      AddRange(v, it.ks.result,
+               it.ks.key_component_count * it.ks.decomp_modulus_size * it.ks.n);
+      break;
+    case OpType::kNtt:
+    case OpType::kIntt:
+      AddRange(v, it.ntt.operand, it.ntt.n);
+      break;
+  }
+}
+
+void SnapshotReadRanges(const WorkItem& it, std::vector<MemRange>* v) {
+  switch (it.type) {
+    case OpType::kDyadicMultiply:
+      AddRange(v, it.dyadic.operand1, 2 * it.dyadic.n_moduli * it.dyadic.n);
+      AddRange(v, it.dyadic.operand2, 2 * it.dyadic.n_moduli * it.dyadic.n);
+      break;
+    case OpType::kKeySwitch:
+      AddRange(v, it.ks.t_target, it.ks.decomp_modulus_size * it.ks.n);
+      AddRange(v, it.ks.result,
+               it.ks.key_component_count * it.ks.decomp_modulus_size * it.ks.n);
+      break;
+    case OpType::kNtt:
+    case OpType::kIntt:
+      AddRange(v, it.ntt.operand, it.ntt.n);
+      break;
+  }
+}
+
+bool HasRawHazard(const std::vector<WorkItem*>& pending,
+                  const std::vector<WorkItem*>& next) {
+  std::vector<MemRange> writes, reads;
+  for (const auto* it : pending) WriteRanges(*it, &writes);
+  for (const auto* it : next) SnapshotReadRanges(*it, &reads);
+  for (const auto& w : writes)
+    for (const auto& r : reads)
+      if (w.lo < r.hi && r.lo < w.hi) return true;
+  return false;
+}
+
+}  // namespace
+
 void DevicePool::WorkerLoop(int index) {
   (void)index;
   // At most one submitted-not-finalized v2 batch is held here; while it
@@ -287,6 +353,9 @@ void DevicePool::WorkerLoop(int index) {
       }
       not_full_.notify_all();
     }
+    // the next batch's submit snapshots its inputs NOW; if any of them
+    // alias a buffer the pending batch has yet to write, drain first
+    if (pending && HasRawHazard(pending->items, batch)) finalize_now();
     auto t0 = std::chrono::steady_clock::now();
     if (auto submitted = TrySubmitV2(batch)) {
       submitted->submitted_at = t0;

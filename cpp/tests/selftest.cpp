@@ -320,6 +320,110 @@ static void TestBackendV2Pipelining() {
   std::puts("backend v2 pipelining: OK");
 }
 
+// ---------------------------------------------------------------------------
+// v2 read-after-write hazard: a submit SNAPSHOTS its inputs (like the JAX
+// backend) while the previous batch is still in flight.  When op i+1 reads a
+// buffer op i writes, the scheduler must finalize op i BEFORE submitting
+// op i+1 — otherwise the snapshot is stale and the result silently wrong.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct MockV2Snap {
+  std::mutex mu;
+  std::condition_variable cv;
+  bool all_enqueued = false;
+  struct Shot {
+    hexl_tpu_dyadic_op op;
+    std::vector<u64> in1, in2;  // input contents at SUBMIT time
+  };
+  std::map<u64, std::vector<Shot>> inflight;
+  u64 next_handle = 1;
+
+  static u64 SubmitDyadic(void* ctx, hexl_tpu_dyadic_op* ops, u64 count) {
+    auto* m = static_cast<MockV2Snap*>(ctx);
+    std::unique_lock<std::mutex> lock(m->mu);
+    if (m->next_handle == 1)  // hold only the FIRST submit: once it returns,
+      m->cv.wait(lock, [&] { return m->all_enqueued; });  // op 2 is queued
+    const u64 h = m->next_handle++;
+    auto& shots = m->inflight[h];
+    for (u64 i = 0; i < count; ++i) {
+      Shot s;
+      s.op = ops[i];
+      const u64 w = 2 * ops[i].n_moduli * ops[i].n;
+      s.in1.assign(ops[i].operand1, ops[i].operand1 + w);
+      s.in2.assign(ops[i].operand2, ops[i].operand2 + w);
+      shots.push_back(std::move(s));
+    }
+    return h;
+  }
+
+  static int Finalize(void* ctx, u64 h) {
+    auto* m = static_cast<MockV2Snap*>(ctx);
+    std::vector<Shot> shots;
+    {
+      std::lock_guard<std::mutex> lock(m->mu);
+      auto it = m->inflight.find(h);
+      if (it == m->inflight.end()) return 0;
+      shots.swap(it->second);
+      m->inflight.erase(it);
+    }
+    for (auto& s : shots)
+      hexl_tpu::dyadic_multiply(s.op.results, s.in1.data(), s.in2.data(),
+                                s.op.n, s.op.moduli, s.op.n_moduli);
+    return 1;
+  }
+};
+
+}  // namespace
+
+static void TestBackendV2AliasHazard() {
+  intel::hexl::release_FPGA_resources();
+  setenv("BATCH_SIZE_DYADIC_MULTIPLY", "1", 1);  // two one-op batches
+  intel::hexl::acquire_FPGA_resources();
+
+  const u64 n = 256, q = 65537;
+  std::mt19937_64 rng(23);
+  std::vector<u64> a(2 * n), b(2 * n), c(2 * n);
+  for (u64 i = 0; i < 2 * n; ++i) {
+    a[i] = rng() % q;
+    b[i] = rng() % q;
+    c[i] = rng() % q;
+  }
+  // op1 writes out1; op2 reads out1's first 2n words as its operand1
+  std::vector<u64> out1(3 * n, 0), out2(3 * n, 0);
+
+  MockV2Snap mock;
+  hexl_tpu_backend_v2 be{};
+  be.submit_dyadic_batch = &MockV2Snap::SubmitDyadic;
+  be.finalize_batch = &MockV2Snap::Finalize;
+  be.ctx = &mock;
+  hexl_tpu_register_backend_v2(&be);
+
+  intel::hexl::set_worksize_DyadicMultiply(2);
+  intel::hexl::DyadicMultiply(out1.data(), a.data(), b.data(), n, &q, 1);
+  intel::hexl::DyadicMultiply(out2.data(), out1.data(), c.data(), n, &q, 1);
+  {
+    std::lock_guard<std::mutex> lock(mock.mu);
+    mock.all_enqueued = true;
+    mock.cv.notify_all();
+  }
+  intel::hexl::DyadicMultiplyCompleted();
+
+  // expected: sequential evaluation
+  std::vector<u64> want1(3 * n), want2(3 * n);
+  hexl_tpu::dyadic_multiply(want1.data(), a.data(), b.data(), n, &q, 1);
+  hexl_tpu::dyadic_multiply(want2.data(), want1.data(), c.data(), n, &q, 1);
+  CHECK(out1 == want1);
+  CHECK(out2 == want2);  // stale snapshot would have read out1 == zeros
+
+  hexl_tpu_register_backend_v2(nullptr);
+  intel::hexl::release_FPGA_resources();
+  unsetenv("BATCH_SIZE_DYADIC_MULTIPLY");
+  intel::hexl::acquire_FPGA_resources();
+  std::puts("backend v2 alias hazard drain: OK");
+}
+
 int main() {
   intel::hexl::acquire_FPGA_resources();
   TestNttRoundtrip();
@@ -327,6 +431,7 @@ int main() {
   TestKeySwitchZeroKey();
   TestConcurrentCallers();
   TestBackendV2Pipelining();
+  TestBackendV2AliasHazard();
   intel::hexl::release_FPGA_resources();
   std::puts("selftest: ALL OK");
   return 0;

@@ -124,11 +124,21 @@ class BackendV2(ctypes.Structure):
     ]
 
 
+# Newest symbol of the C ABI this module binds: a cached .so built before
+# the symbol existed must be REBUILT, not loaded (binding would raise
+# AttributeError deep inside NativeRuntime, and a same-path re-dlopen after
+# rebuilding could still return the stale mapping).  Bump when the ABI grows.
+_NEWEST_ABI_SYMBOL = b"hexl_tpu_register_backend_v2"
+
+
 def build_library(force: bool = False) -> Path:
     """Build libhexl_fpga_tpu.so with cmake (cached in cpp/build)."""
     lib = _BUILD_DIR / _LIB_NAME
     if lib.exists() and not force:
-        return lib
+        # the dynamic string table carries exported names verbatim; a miss
+        # means the cache predates the current ABI
+        if _NEWEST_ABI_SYMBOL in lib.read_bytes():
+            return lib
     subprocess.run(
         ["cmake", "-S", str(_CPP_DIR), "-B", str(_BUILD_DIR),
          "-DCMAKE_BUILD_TYPE=Release"],
@@ -384,10 +394,10 @@ class NativeRuntime:
                 ]
                 msf = _view(o.modswitch_factors, K).copy()
                 ts = np.stack(
-                    [_view(ops[i].t_target, L * n).copy() for i in range(count)]
+                    [_view(ops[i].t_target, L * n) for i in range(count)]
                 )
                 rs = np.stack(
-                    [_view(ops[i].result, comp * L * n).copy()
+                    [_view(ops[i].result, comp * L * n)
                      for i in range(count)]
                 )
                 out = kctx.run_batch(rs, ts, keys, msf)
@@ -402,7 +412,7 @@ class NativeRuntime:
                 o = ops[0]
                 n, q = o.n, o.coeff_modulus
                 operands = np.stack(
-                    [_view(ops[i].operand, n).copy() for i in range(count)]
+                    [_view(ops[i].operand, n) for i in range(count)]
                 )
                 roots = _view(o.root_powers, n).copy()
                 precon = _view(o.precon_root_powers, n).copy()
@@ -528,11 +538,11 @@ class NativeRuntime:
                 ]
                 msf = _view(o.modswitch_factors, K).copy()
                 ts = np.stack(
-                    [_view(ops[i].t_target, L * n).copy()
+                    [_view(ops[i].t_target, L * n)
                      for i in range(count)]
                 )
                 rs = np.stack(
-                    [_view(ops[i].result, comp * L * n).copy()
+                    [_view(ops[i].result, comp * L * n)
                      for i in range(count)]
                 )
                 views = _res_views(
@@ -574,7 +584,7 @@ class NativeRuntime:
                 o = ops[0]
                 n, q = int(o.n), int(o.coeff_modulus)
                 operands = np.stack(
-                    [_view(ops[i].operand, n).copy() for i in range(count)]
+                    [_view(ops[i].operand, n) for i in range(count)]
                 )
                 roots = _view(o.root_powers, n).copy()
                 views = _res_views(

@@ -23,6 +23,7 @@ implementation (no floods, no CRT sampling bias fixes).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import List, Sequence
 
@@ -848,19 +849,14 @@ def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
     nl = h.level + 1
     ks = self._ks_ctx(nl)
     uniq = sorted(set(nontrivial))
-    gs = [pow(5, r, 2 * self.ctx.n) for r in uniq]
     if not hasattr(self, "_sigma_n"):
         self._sigma_n = {}
-    for g in gs:
+    for r in uniq:
+        g = pow(5, r, 2 * self.ctx.n)
         if g not in self._sigma_n:
             self._sigma_n[g] = jnp.asarray(
                 _ntt_galois_sigma(self.ctx.n, g).astype(np.int32)
             )
-    keysets = [ks.device_keys(self.ctx._galois_keys_for(g)) for g in gs]
-    kstack = tuple(
-        jnp.stack([kset[i] for kset in keysets]) for i in range(4)
-    )
-    perms = jnp.stack([self._sigma_n[g] for g in gs])
     msf4 = ks.prepare_msf4(self.ctx.modswitch_factors)
     key = ("rot_many", nl)
     if key not in self._rot_fn:
@@ -882,11 +878,30 @@ def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
             return outs                            # (S, 2, nl, 2n)
 
         self._rot_fn[key] = jax.jit(fn)
-    outs = self._rot_fn[key](hh.dlo, hh.dhi, hh.data32, perms, *kstack, msf4)
-    by_step = {
-        r: DeviceCkksCiphertext(outs[s], h.level, h.scale)
-        for s, r in enumerate(uniq)
-    }
+    # the scan materializes ALL per-step Galois key tensors as stacked
+    # inputs (4 x (S, L, comp, K, n) u32 — ~22 MB/step at the flagship
+    # config), so bound the stack and run the steps in chunks: memory
+    # stays O(chunk), the hoisted prefix is still computed once, and a
+    # BSGS sweep costs ceil(S/chunk) dispatches instead of S
+    keyset_bytes = 4 * 4 * ks.L * ks.comp * ks.K * ks.n
+    max_mb = int(os.environ.get("HEXL_TPU_ROT_MANY_MAX_MB", "256"))
+    chunk = max(1, (max_mb << 20) // keyset_bytes)
+    by_step = {}
+    for c0 in range(0, len(uniq), chunk):
+        sub = uniq[c0 : c0 + chunk]
+        gs = [pow(5, r, 2 * self.ctx.n) for r in sub]
+        keysets = [
+            ks.device_keys(self.ctx._galois_keys_for(g)) for g in gs
+        ]
+        kstack = tuple(
+            jnp.stack([kset[i] for kset in keysets]) for i in range(4)
+        )
+        perms = jnp.stack([self._sigma_n[g] for g in gs])
+        outs = self._rot_fn[key](
+            hh.dlo, hh.dhi, hh.data32, perms, *kstack, msf4
+        )
+        for s, r in enumerate(sub):
+            by_step[r] = DeviceCkksCiphertext(outs[s], h.level, h.scale)
     return [h if r % self.ctx.slots == 0 else by_step[r] for r in steps]
 
 
@@ -920,6 +935,7 @@ def _evaluator_linear_transform(self, h: DeviceCkksCiphertext, diagonals,
 
     slots = self.ctx.slots
     diags = {d % slots: np.asarray(v) for d, v in diagonals.items()}
+    assert diags, "linear_transform requires at least one diagonal"
     assert all(v.shape == (slots,) for v in diags.values())
     n1 = bsgs_n1 or max(1, int(round(math.sqrt(len(diags)))))
     groups: "dict[int, list[int]]" = {}

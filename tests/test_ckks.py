@@ -271,6 +271,22 @@ def test_device_evaluator_rotate_many_fused_matches_unfused(ctx, ev):
                                       np.asarray(b.data32))
 
 
+def test_device_evaluator_rotate_many_chunked_matches_unfused(
+        ctx, ev, monkeypatch):
+    """HEXL_TPU_ROT_MANY_MAX_MB=0 forces chunk=1 (the key-stack memory
+    bound): the chunked fused scans must still equal the per-step path
+    bit-for-bit, and every requested step must come back."""
+    monkeypatch.setenv("HEXL_TPU_ROT_MANY_MAX_MB", "0")
+    rng = np.random.default_rng(17)
+    z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)
+    h = ev.stage(ctx.encrypt(z))
+    unfused = ev.rotate_many(h, [1, 2, 3], fused=False)
+    fused = ev.rotate_many(h, [1, 2, 3], fused=True)
+    for a, b in zip(unfused, fused):
+        np.testing.assert_array_equal(np.asarray(a.data32),
+                                      np.asarray(b.data32))
+
+
 def test_device_evaluator_conjugate_hoisted(ctx, ev):
     rng = np.random.default_rng(11)
     z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)

@@ -170,6 +170,48 @@ def test_jax_backend_registration(rt, pipelined):
         rt.clear_backend()
 
 
+@pytest.mark.heavy
+def test_pipelined_keyswitch_same_result_accumulate(rt):
+    """Two KeySwitch ops accumulating into the SAME result buffer inside one
+    worksize window, through the pipelined v2 backend: the scheduler must
+    finalize batch i before batch i+1's submit snapshots the aliased result
+    (read-after-write hazard drain, `cpp/src/runtime.cpp::HasRawHazard`) —
+    a stale snapshot would silently drop op 1's contribution."""
+    rt.register_jax_backend(pipelined=True)
+    try:
+        n, L, K = 1024, 2, 3
+        vec = vectors.make_keyswitch_vector(n, L, K, seed=7, modulus_bits=45)
+        result = np.ascontiguousarray(vec.input, dtype=np.uint64).copy()
+        t = np.ascontiguousarray(vec.t_target_iter_ptr, dtype=np.uint64)
+        moduli = np.ascontiguousarray(vec.moduli, dtype=np.uint64)
+        msf = np.ascontiguousarray(vec.modswitch_factors, dtype=np.uint64)
+        keys = [
+            np.ascontiguousarray(k, dtype=np.uint64) for k in vec.key_vectors
+        ]
+        key_arr = (cpp_bridge.u64_p * len(keys))(
+            *[cpp_bridge._np_ptr(k) for k in keys]
+        )
+        tw = np.ascontiguousarray(vec.twiddle_factors, dtype=np.uint64)
+        rt.lib.hexl_tpu_set_worksize_keyswitch(2)
+        for _ in range(2):
+            rt.lib.hexl_tpu_keyswitch(
+                cpp_bridge._np_ptr(result), cpp_bridge._np_ptr(t),
+                n, L, K, L + 1, 2, cpp_bridge._np_ptr(moduli), key_arr,
+                cpp_bridge._np_ptr(msf), cpp_bridge._np_ptr(tw),
+            )
+        rt.lib.hexl_tpu_keyswitch_completed()
+        want = vec.input
+        for _ in range(2):
+            want = golden.keyswitch(
+                want, vec.t_target_iter_ptr, n, L, K, L + 1, 2,
+                vec.moduli, vec.key_vectors, vec.modswitch_factors,
+                vec.twiddle_factors,
+            )
+        np.testing.assert_array_equal(result, want)
+    finally:
+        rt.clear_backend()
+
+
 def test_cpp_selftest_binary(rt):
     """The standalone C++ self-test binary passes."""
     exe = cpp_bridge._BUILD_DIR / "hexl_tpu_selftest"
