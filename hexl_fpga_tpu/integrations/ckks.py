@@ -280,6 +280,19 @@ class CkksContext:
             data=out, level=ct.level - 1, scale=ct.scale / q_last
         )
 
+    def mod_switch_to_next(self, ct: Ciphertext) -> Ciphertext:
+        """Drop the last active modulus WITHOUT rescaling (SEAL's
+        mod_switch_to_next): level decreases, scale is unchanged.  Exact in
+        RNS-NTT form — the remaining limbs already hold the centered
+        value's residues, so this is a row slice.  Used to align levels
+        before add/multiply between ciphertexts of different depths."""
+        nl = ct.level + 1
+        assert nl >= 2
+        return Ciphertext(
+            data=ct.data[:, : nl - 1].copy(), level=ct.level - 1,
+            scale=ct.scale,
+        )
+
     def add(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
         assert ct1.level == ct2.level and abs(ct1.scale - ct2.scale) < 1e-3
         nl = ct1.level + 1
@@ -645,8 +658,19 @@ def _pad2(call, lo, hi, tile_p):
     return olo[:R], ohi[:R]
 
 
+def _evaluator_mod_switch_to_next(self, h: DeviceCkksCiphertext
+                                  ) -> DeviceCkksCiphertext:
+    """Drop the last active modulus without rescaling (level alignment;
+    see CkksContext.mod_switch_to_next).  A device-side row slice — no
+    transforms, no host round trip."""
+    nl = h.level + 1
+    assert nl >= 2
+    return DeviceCkksCiphertext(h.data32[:, : nl - 1], h.level - 1, h.scale)
+
+
 DeviceCkksEvaluator.multiply_relin = _evaluator_multiply_relin
 DeviceCkksEvaluator.rescale = _evaluator_rescale
+DeviceCkksEvaluator.mod_switch_to_next = _evaluator_mod_switch_to_next
 
 
 def _evaluator_add_plain(self, h: DeviceCkksCiphertext, z):

@@ -287,6 +287,28 @@ def test_device_evaluator_rotate_many_chunked_matches_unfused(
                                       np.asarray(b.data32))
 
 
+def test_mod_switch_to_next_host_and_device(ctx, ev):
+    """Dropping the last modulus without rescale: same decryption (scale
+    unchanged), level aligned for subsequent ops; device path matches the
+    host path bit-for-bit."""
+    rng = np.random.default_rng(21)
+    z = rng.standard_normal(ctx.slots) * 0.5
+    ct = ctx.encrypt(z)
+    sw = ctx.mod_switch_to_next(ct)
+    assert sw.level == ct.level - 1 and sw.scale == ct.scale
+    assert np.max(np.abs(ctx.decrypt(sw) - z)) < 1e-2
+    h = ev.mod_switch_to_next(ev.stage(ct))
+    np.testing.assert_array_equal(
+        np.asarray(ev.to_host(h).data), sw.data
+    )
+    # level alignment: a fresh ciphertext mod-switched down can be added
+    # to one at the lower level with a matching scale
+    z2 = rng.standard_normal(ctx.slots) * 0.5
+    other = ctx.mod_switch_to_next(ctx.encrypt(z2))
+    both = ctx.add(sw, other)
+    assert np.max(np.abs(ctx.decrypt(both) - (z + z2))) < 1e-2
+
+
 def test_device_evaluator_conjugate_hoisted(ctx, ev):
     rng = np.random.default_rng(11)
     z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)
