@@ -239,6 +239,7 @@ def keyswitch(
     k_switch_keys,
     modswitch_factors,
     twiddle_factors=None,
+    plain_modulus: int | None = None,
 ) -> np.ndarray:
     """One KeySwitch op, bit-exact with the reference device dataflow.
 
@@ -251,6 +252,15 @@ def keyswitch(
         unreduced; reduced with ReduceMod8 semantics as in build_modulus_meta)
       twiddle_factors: optional caller table in the keyswitch host layout
         (key_modulus_size x [inv, precon_inv, fwd, precon_fwd] x n).
+      plain_modulus: optional BGV plaintext modulus t.  The reference's tail
+        (`device/keyswitch/ms.hpp:27-84`) subtracts the CENTERED residue
+        [d]_qk before the q_k^{-1} multiply — correct for CKKS/BFV, where the
+        division error lands in the noise.  BGV keeps its message in the LSB
+        mod t, so the subtracted value must ALSO be divisible by t: with
+        d' = [d]_qk + qk*u', u' = [-[d]_qk * qk^{-1}]_t centered, (acc - d')
+        is divisible by qk AND d' == 0 (mod t), so the switched ciphertext
+        stays exact mod t (Gentry-Halevi-Smart correction; requires
+        gcd(qk, t) == 1 and key errors scaled by t).
     """
     # rns sizes the engine set in the reference (`host/src/fpga.cpp:1049-1068`);
     # this model implements the shipped rns == decomp + 1 configurations.
@@ -324,13 +334,30 @@ def keyswitch(
     # `ms.hpp`): INTT under qk, center by +qk/2, reduce into each q_i, NTT,
     # subtract from the q_i accumulator, multiply by the reduced modswitch
     # factor.
+    if plain_modulus is not None:
+        t = int(plain_modulus)
+        assert t >= 2
+        from math import gcd
+
+        assert gcd(qk, t) == 1, "special modulus must be coprime to t"
+        inv_qk_t = nt.inverse_mod(qk % t, t)
+        t_half = t >> 1
     for k in range(key_component_count):
         d = inv_ntt(acc[key_modulus_size - 1][k].astype(np.uint64), qk, tabs[key_modulus_size - 1])
         e = (d.astype(object) + qk_half) % qk  # AddUIntMod(val, qk_half, qk)
+        if plain_modulus is not None:
+            # sigma = [u + t/2]_t with u = [(qk_half - e) * qk^{-1}]_t, so
+            # u' = sigma - t_half is the centered correction digit and
+            # d' = (e - qk_half) + qk*u' is == d (mod qk) and == 0 (mod t).
+            sigma = ((qk_half - e) * inv_qk_t + t_half) % t
         for i in range(decomp_modulus_size):
             q = moduli[i]
             fix = q - (qk_half % q)
-            f = ((e + fix) % q).astype(np.uint64)
+            if plain_modulus is None:
+                f = ((e + fix) % q).astype(np.uint64)
+            else:
+                fix_bgv = (-qk_half - qk * t_half) % q
+                f = ((e + fix_bgv + sigma * (qk % q)) % q).astype(np.uint64)
             g = fwd_ntt(f, q, tabs[i])
             msf = int(modswitch_factors[i]) % q  # ReduceMod<8> semantics
             out = ((acc[i][k] + q - g.astype(object)) * msf) % q

@@ -76,6 +76,7 @@ class KeySwitchTpuContext:
         interpret: bool = False,
         fused_mac: bool = False,
         fused_tail: bool = True,
+        plain_modulus: Optional[int] = None,
     ):
         assert key_component_count == 2, "key_component_count must be 2"
         # The engine count threads through rns_modulus_size in the reference
@@ -104,6 +105,41 @@ class KeySwitchTpuContext:
         self.qk = self.moduli[self.K - 1]
         self.qk_half = self.qk >> 1
         self.q_barr = [nt.barrett_factor(1, 64, q) for q in self.moduli]
+        # BGV mode (plain_modulus = t): the tail subtracts d' = [d]_qk + qk*u'
+        # with u' = [-[d]_qk * qk^{-1}]_t centered — divisible by t, so the
+        # switched ciphertext stays exact mod t (golden.keyswitch docstring;
+        # the reference tail `keyswitch/ms.hpp:27-84` is CKKS/BFV-only).
+        # Implemented as a per-coefficient digit sigma = u' + t/2 in [0, t)
+        # computed once from the INTT2 output, then folded into each decomp
+        # tail as e += sigma * (qk mod q_j) with a BGV fix constant; the
+        # widened f < qk + 2q < 2^54 still rides the 7-limb wide-input
+        # transforms exactly (capacity 2^56).
+        self.plain_modulus = None if plain_modulus is None else int(plain_modulus)
+        if self.plain_modulus is not None:
+            t = self.plain_modulus
+            from math import gcd
+
+            assert t >= 2, "plain_modulus must be >= 2"
+            assert gcd(self.qk, t) == 1, (
+                "special modulus must be coprime to plain_modulus"
+            )
+            assert t < min(self.moduli), (
+                "plain_modulus must be below every coefficient modulus"
+            )
+            self.t_half = t >> 1
+            self.inv_qk_t = nt.inverse_mod(self.qk % t, t)
+            self.qk_half_t = self.qk_half % t
+            self.t_barr = nt.barrett_factor(1, 64, t)
+            self._fix = [
+                (-self.qk_half - self.qk * self.t_half) % self.moduli[j]
+                for j in range(self.L)
+            ]
+            self._qk_mod = [self.qk % self.moduli[j] for j in range(self.L)]
+        else:
+            self._fix = [
+                self.moduli[j] - (self.qk_half % self.moduli[j])
+                for j in range(self.L)
+            ]
         # fused-Pallas transform callables (unjitted; composed in one jit).
         # Forward transforms emit LAZY u64 representatives — their consumers
         # (the Harvey lazy MAC, the tail's Barrett into the SAME modulus) are
@@ -136,8 +172,9 @@ class KeySwitchTpuContext:
         if fused_tail:
             self._tail = [
                 ntt_mxu_pallas.raw_fwd_tail_call(
-                    n, self.moduli[j], self.moduli[j] - (self.qk_half % self.moduli[j]),
+                    n, self.moduli[j], self._fix[j],
                     tile_p, psi=self.psi[j], interpret=interpret,
+                    data_bits=54 if self.plain_modulus is not None else None,
                 )
                 for j in range(self.L)
             ]
@@ -196,15 +233,32 @@ class KeySwitchTpuContext:
         """(sum wx mod 2^64, sum Q) -> the lazy u64 sum < 28q."""
         return w.sub64(acc[0], w.mullo64(acc[1], q))
 
-    def _tail_j(self, j, e, acc, res, msf4):
+    def _sigma(self, e):
+        """BGV correction digit per coefficient: sigma = [(qk/2 - e) *
+        qk^{-1} + t/2]_t, computed ONCE from the INTT2 output e (canonical
+        under q_k).  sigma - t/2 is the centered multiple of qk that makes
+        the subtracted tail value divisible by t (see __init__)."""
+        t = self.plain_modulus
+        e_t = w.barrett_reduce64(e, t, self.t_barr)
+        x = w.cond_sub64(
+            w.add64(w.sub64(w.const_pair(self.qk_half_t), e_t), t), t
+        )
+        u = w.mul_mod_static(x, self.inv_qk_t, t)
+        return w.add_mod(u, self.t_half, t)
+
+    def _tail_j(self, j, e, acc, res, msf4, sigma=None):
         """Per-decomp-modulus tail: INTT2 output e ((comp*B, n), canonical
         under q_k), lazy MAC accumulators acc ([comp] of (B, n) pairs), and
         caller result rows res ([comp] of (B, n) pairs) -> canonical output
         rows per component.  Fused-tail contexts run the single Pallas
-        kernel; otherwise the XLA composition (`ms.hpp:27-84` analog)."""
+        kernel; otherwise the XLA composition (`ms.hpp:27-84` analog).
+        sigma (BGV contexts only) folds the mod-t correction into e before
+        the transform: f == d' (mod q_j), still < 2^54 wide-input exact."""
         q = self.moduli[j]
         comp = self.comp
         B = acc[0][0].shape[0]
+        if sigma is not None:
+            e = w.add64(e, w.mul_mod_static(sigma, self._qk_mod[j], q))
         if self.fused_tail:
             # ONE kernel: +fix prologue, tail NTT, Barrett of both the
             # transform output and the LAZY accumulator, ms, accumulate
@@ -220,9 +274,9 @@ class KeySwitchTpuContext:
                 (ol[k * B : (k + 1) * B], oh[k * B : (k + 1) * B])
                 for k in range(comp)
             ]
-        fix = q - (self.qk_half % q)
+        fix = self._fix[j]
         acc = [w.barrett_reduce64(a, q, self.q_barr[j]) for a in acc]
-        # tail transforms: f = e + fix (< q_k + q_j < 2^53, unreduced)
+        # tail transforms: f = e + fix (< q_k + 2q_j < 2^54, unreduced)
         f = w.add64(e, fix)
         vlo, vhi = self._transform(self._fwd, j, f[0], f[1])
         # modswitch tail (`ms.hpp:27-84`) + host-style accumulate; the
@@ -340,6 +394,7 @@ class KeySwitchTpuContext:
             jnp.concatenate([acc_sp[k][1] for k in range(comp)]),
         )
         e = w.add_mod((dlo, dhi), qk_half, qk)  # (comp*B, n)
+        sigma = self._sigma(e) if self.plain_modulus is not None else None
 
         # ---- per decomp modulus: fused engine MAC + tail NTT ----
         out_lo = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
@@ -352,7 +407,7 @@ class KeySwitchTpuContext:
             res = [
                 (res_lo[:, k, j, :], res_hi[:, k, j, :]) for k in range(comp)
             ]
-            outs = self._tail_j(j, e, acc, res, msf4)
+            outs = self._tail_j(j, e, acc, res, msf4, sigma)
             for k in range(comp):
                 out_lo = out_lo.at[:, k, j, :].set(outs[k][0])
                 out_hi = out_hi.at[:, k, j, :].set(outs[k][1])
@@ -690,6 +745,7 @@ class KeySwitchTpuContext:
             jnp.concatenate([acc_sp[k][1] for k in range(comp)]),
         )
         e = w.add_mod((dlo2, dhi2), qk_half, qk)
+        sigma = self._sigma(e) if self.plain_modulus is not None else None
 
         out_lo = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
         out_hi = jnp.zeros((B, comp, L, n), dtype=jnp.uint32)
@@ -698,7 +754,7 @@ class KeySwitchTpuContext:
             res = [
                 (res_lo[:, k, j, :], res_hi[:, k, j, :]) for k in range(comp)
             ]
-            outs = self._tail_j(j, e, acc, res, msf4)
+            outs = self._tail_j(j, e, acc, res, msf4, sigma)
             for k in range(comp):
                 out_lo = out_lo.at[:, k, j, :].set(outs[k][0])
                 out_hi = out_hi.at[:, k, j, :].set(outs[k][1])
@@ -803,12 +859,14 @@ class DeviceTarget:
 
 
 @functools.lru_cache(maxsize=16)
-def _context_cached(n, L, K, rns, comp, moduli, tw_key, tile_p, interpret):
+def _context_cached(n, L, K, rns, comp, moduli, tw_key, tile_p, interpret,
+                    plain_modulus=None):
     # strict lookup: a stash entry evicted between insertion and this call
     # must raise, not silently build the context with default twiddles
     tw = _TWIDDLE_STASH[tw_key] if tw_key is not None else None
     return KeySwitchTpuContext(
-        n, L, K, rns, comp, list(moduli), tw, tile_p, interpret
+        n, L, K, rns, comp, list(moduli), tw, tile_p, interpret,
+        plain_modulus=plain_modulus,
     )
 
 
@@ -823,7 +881,7 @@ _TWIDDLE_STASH_SLOTS = 16
 def get_context(
     n, decomp_modulus_size, key_modulus_size, rns_modulus_size,
     key_component_count, moduli, twiddle_factors=None, tile_p: int = 4,
-    interpret: bool = False,
+    interpret: bool = False, plain_modulus: int | None = None,
 ) -> KeySwitchTpuContext:
     if twiddle_factors is not None:
         import hashlib
@@ -840,4 +898,5 @@ def get_context(
         n, decomp_modulus_size, key_modulus_size, rns_modulus_size,
         key_component_count, tuple(int(m) for m in moduli), tw_key, tile_p,
         interpret,
+        None if plain_modulus is None else int(plain_modulus),
     )

@@ -12,7 +12,29 @@ always off; HEXL_TPU_COMPILE_CACHE=1 always on.
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_fingerprint() -> str:
+    """Short digest of the host CPU's feature flags.
+
+    XLA:CPU caches AOT-compiled machine code; entries produced on a host
+    with different ISA extensions are rejected at load time with a
+    machine-feature mismatch (risking SIGILL if forced), and the rejection
+    path is slower than a cold compile.  Salting the cache directory with
+    the flags digest makes a migrated/retyped host start a fresh cache
+    instead of churning through every stale entry."""
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
 
 
 def enable_compile_cache(repo_root: str, force: bool = False) -> bool:
@@ -29,7 +51,7 @@ def enable_compile_cache(repo_root: str, force: bool = False) -> bool:
             "jax_compilation_cache_dir",
             os.environ.get(
                 "HEXL_TPU_COMPILE_CACHE_DIR",
-                os.path.join(repo_root, ".jax_cache"),
+                os.path.join(repo_root, ".jax_cache", _host_fingerprint()),
             ),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

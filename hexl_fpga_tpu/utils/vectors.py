@@ -81,13 +81,21 @@ def make_keyswitch_vector(
     modulus_bits: int = 50,
     noise_bound: int = 3,
     nonzero_input: bool = True,
+    plain_modulus: int | None = None,
 ) -> KeySwitchVector:
     """Generate one semantically-valid keyswitch vector.
 
     Returns the vector with `expected_output` filled in by the golden model.
     Also stores (in `.aux`) the secrets/plaintext needed for RLWE-level
-    verification."""
+    verification.
+
+    plain_modulus (BGV mode): key errors are scaled by t (BGV switching keys
+    encrypt P*s_old with noise t*e) and `expected_output` comes from the
+    golden model's BGV tail (golden.keyswitch plain_modulus), whose rounding
+    delta is divisible by t — so the keyswitch noise is == 0 (mod t) and the
+    BGV message survives exactly (test_keyswitch_bgv.py proves it)."""
     rng = np.random.default_rng(seed)
+    t_scale = 1 if plain_modulus is None else int(plain_modulus)
     L, K = decomp_modulus_size, key_modulus_size
     moduli = nt.generate_primes(K, modulus_bits, n)
     P = moduli[K - 1]
@@ -124,7 +132,10 @@ def make_keyswitch_vector(
             neg_a_ntt = np.where(a_ntt == 0, 0, np.uint64(q) - a_ntt)
             b = golden.inv_ntt(_mul_mod_obj(neg_a_ntt, sn_ntt[j], q), q, tabs[j])
             add = np.array(
-                [(ev + (P * sv if j == i else 0)) % q for ev, sv in zip(e, s_old)],
+                [
+                    (t_scale * ev + (P * sv if j == i else 0)) % q
+                    for ev, sv in zip(e, s_old)
+                ],
                 dtype=np.uint64,
             )
             b = ((b.astype(object) + add.astype(object)) % q).astype(np.uint64)
@@ -161,6 +172,7 @@ def make_keyswitch_vector(
         key_vectors,
         modswitch_factors,
         twiddle_factors,
+        plain_modulus=plain_modulus,
     )
 
     vec = KeySwitchVector(
@@ -183,6 +195,7 @@ def make_keyswitch_vector(
         "t_int": t_int,
         "QP": QP,
         "P": P,
+        "plain_modulus": plain_modulus,
     }
     return vec
 
