@@ -80,6 +80,9 @@ class CkksContext:
         ]
         rng = np.random.default_rng(seed)
         self._rng = rng
+        # noise multiplier for fresh encryptions and switching keys: 1 for
+        # CKKS/BFV; the BGV subclass sets t (its errors must be ≡ 0 mod t)
+        self._noise_scale = getattr(self, "_noise_scale", 1)
         self.s = [int(v) for v in rng.integers(-1, 2, size=n)]  # ternary
         # canonical embedding: slot j evaluated at zeta^{5^j}, zeta = e^{i pi/n}
         e = np.array([pow(5, j, 2 * n) for j in range(self.slots)])
@@ -112,7 +115,8 @@ class CkksContext:
         keys = []
         for i in range(L):
             a_int = [int(rng.integers(0, 1 << 62)) % QP for _ in range(n)]
-            e = [int(v) for v in rng.integers(-3, 4, size=n)]
+            e = [self._noise_scale * int(v)
+                 for v in rng.integers(-3, 4, size=n)]
             comp0 = np.zeros((K, n), dtype=np.uint64)
             comp1 = np.zeros((K, n), dtype=np.uint64)
             for j, q in enumerate(self.moduli):
@@ -183,7 +187,8 @@ class CkksContext:
             Qd *= q
         rng = self._rng
         a_int = [int(rng.integers(0, 1 << 62)) % Qd for _ in range(n)]
-        e = [int(v) for v in rng.integers(-noise_bound, noise_bound + 1, size=n)]
+        e = [self._noise_scale * int(v)
+             for v in rng.integers(-noise_bound, noise_bound + 1, size=n)]
         b_int = vectors._negacyclic_mul([(-v) % Qd for v in a_int], self.s, Qd)
         b_int = [(bv + ev + mv) % Qd for bv, ev, mv in zip(b_int, e, m_int)]
         data = np.stack(
