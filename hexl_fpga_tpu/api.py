@@ -92,7 +92,13 @@ def KeySwitch(
     k_switch_keys: Sequence[np.ndarray],
     modswitch_factors: Sequence[int],
     twiddle_factors: Optional[np.ndarray] = None,
+    plain_modulus: Optional[int] = None,
 ) -> None:
+    """plain_modulus (keyword-only extension beyond the reference ABI):
+    BGV plaintext modulus t.  The reference tail is CKKS/BFV-only; with t
+    set, the GHS-corrected tail keeps the subtracted value divisible by t
+    (see ops/golden.keyswitch).  Switching keys must carry t-scaled errors.
+    Not available through the C++ drop-in header (frozen reference ABI)."""
     # validation mirrors `host/src/keyswitch.cpp:15-44`
     hexl_assert(result is not None, "requires result != nullptr")
     hexl_assert(t_target_iter_ptr is not None, "requires t_target_iter_ptr != nullptr")
@@ -127,6 +133,16 @@ def KeySwitch(
         )
     hexl_assert(k_switch_keys is not None, "requires k_switch_keys != nullptr")
     hexl_assert(modswitch_factors is not None, "requires modswitch_factors != nullptr")
+    if plain_modulus is not None:
+        from math import gcd
+
+        plain_modulus = int(plain_modulus)
+        hexl_assert(plain_modulus >= 2, "requires plain_modulus >= 2")
+        for i in range(key_modulus_size):
+            hexl_assert(
+                gcd(int(moduli[i]), plain_modulus) == 1,
+                "requires plain_modulus coprime to every modulus",
+            )
 
     moduli_arr = np.asarray(moduli, dtype=np.uint64)[:key_modulus_size].copy()
     msf = np.asarray(modswitch_factors, dtype=np.uint64)[:key_modulus_size].copy()
@@ -142,6 +158,7 @@ def KeySwitch(
         moduli_arr.tobytes(),
         msf.tobytes(),
         keys_id,
+        plain_modulus,
     )
     sched.pool().enqueue(
         sched.KEYSWITCH,
@@ -158,6 +175,7 @@ def KeySwitch(
             "k_switch_keys": list(k_switch_keys),
             "modswitch_factors": msf,
             "twiddle_factors": twiddle_factors,
+            "plain_modulus": plain_modulus,
         },
     )
 

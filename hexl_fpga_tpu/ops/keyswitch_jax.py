@@ -72,6 +72,7 @@ class KeySwitchContext:
         key_component_count: int,
         moduli: Sequence[int],
         twiddle_factors: Optional[np.ndarray] = None,
+        plain_modulus: Optional[int] = None,
     ):
         assert key_component_count == 2, "key_component_count must be 2"
         # rns threads through the reference's engine count
@@ -97,6 +98,21 @@ class KeySwitchContext:
         self.qk = self.moduli[self.K - 1]
         self.qk_half = self.qk >> 1
         self.q_barr = [nt.barrett_factor(1, 64, q) for q in self.moduli]
+        # BGV mode: the tail's subtracted value must be divisible by t —
+        # the GHS correction digit sigma (keyswitch_tpu._sigma / the golden
+        # model's plain_modulus docstring) folds into each decomp tail
+        self.plain_modulus = None if plain_modulus is None else int(plain_modulus)
+        if self.plain_modulus is not None:
+            t = self.plain_modulus
+            from math import gcd
+
+            assert t >= 2, "plain_modulus must be >= 2"
+            assert gcd(self.qk, t) == 1, (
+                "special modulus must be coprime to plain_modulus"
+            )
+            self.t_half = t >> 1
+            self.inv_qk_t = nt.inverse_mod(self.qk % t, t)
+            self.t_barr = nt.barrett_factor(1, 64, t)
         self._fn = jax.jit(self._build)
 
     def _build(self, t_lo, t_hi, keys_lo, keys_hi, res_lo, res_hi, msf_lo, msf_hi):
@@ -141,10 +157,30 @@ class KeySwitchContext:
         for k in range(self.comp):
             d = ntt_jax.inv_ntt_core(acc[K - 1][k], n, self.qk, self.tabs[K - 1])
             e = w.add_mod(d, self.qk_half, self.qk)
+            if self.plain_modulus is not None:
+                # sigma = [(qk/2 - e) qk^{-1} + t/2]_t — the per-coefficient
+                # GHS digit making the subtracted tail value == 0 (mod t)
+                t = self.plain_modulus
+                e_t = w.barrett_reduce64(e, t, self.t_barr)
+                x = w.cond_sub64(
+                    w.add64(
+                        w.sub64(w.const_pair(self.qk_half % t), e_t), t
+                    ), t,
+                )
+                u = w.mul_mod_static(x, self.inv_qk_t, t)
+                sigma = w.add_mod(u, self.t_half, t)
             for i in range(L):
                 q = moduli[i]
-                fix = q - (self.qk_half % q)
-                f = w.barrett_reduce64(w.add64(e, fix), q, self.q_barr[i])
+                if self.plain_modulus is None:
+                    fix = q - (self.qk_half % q)
+                    fsum = w.add64(e, fix)
+                else:
+                    fix = (-self.qk_half - self.qk * self.t_half) % q
+                    fsum = w.add64(
+                        w.add64(e, w.mul_mod_static(sigma, self.qk % q, q)),
+                        fix,
+                    )
+                f = w.barrett_reduce64(fsum, q, self.q_barr[i])
                 g = ntt_jax.fwd_ntt_core(f, n, q, self.tabs[i])
                 t1 = w.reduce_mod_factor(
                     w.add64(w.sub64(acc[i][k], g), 4 * q), q, 8
@@ -210,11 +246,12 @@ class KeySwitchContext:
 
 
 @functools.lru_cache(maxsize=32)
-def _context_cached(n, L, K, rns, comp, moduli, tw_key):
+def _context_cached(n, L, K, rns, comp, moduli, tw_key, plain_modulus=None):
     # strict lookup: an evicted stash entry must raise, not silently
     # fall back to default twiddles (see keyswitch_tpu._context_cached)
     tw = _TWIDDLE_STASH[tw_key] if tw_key is not None else None
-    return KeySwitchContext(n, L, K, rns, comp, list(moduli), tw)
+    return KeySwitchContext(n, L, K, rns, comp, list(moduli), tw,
+                            plain_modulus=plain_modulus)
 
 
 # digest-keyed, bounded: see keyswitch_tpu._TWIDDLE_STASH for rationale
@@ -230,6 +267,7 @@ def get_context(
     key_component_count: int,
     moduli,
     twiddle_factors=None,
+    plain_modulus: Optional[int] = None,
 ) -> KeySwitchContext:
     if twiddle_factors is not None:
         import hashlib
@@ -250,6 +288,7 @@ def get_context(
         key_component_count,
         tuple(int(m) for m in moduli),
         tw_key,
+        None if plain_modulus is None else int(plain_modulus),
     )
 
 

@@ -96,6 +96,7 @@ class GoldenExecutor(_Base):
                 a["k_switch_keys"],
                 a["modswitch_factors"],
                 a["twiddle_factors"],
+                plain_modulus=a.get("plain_modulus"),
             )
             np.copyto(a["result"], out.reshape(a["result"].shape))
 
@@ -296,6 +297,7 @@ class JaxExecutor(_Base):
                 a["key_component_count"],
                 a["moduli"],
                 a["twiddle_factors"],
+                plain_modulus=a.get("plain_modulus"),
             )
             ts = np.stack(
                 [np.asarray(i.args["t_target"], dtype=np.uint64).ravel() for i in batch]

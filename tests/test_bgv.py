@@ -187,3 +187,81 @@ def test_device_multiply_relin_and_mod_switch(dctx, dev):
     )
     with pytest.raises(TypeError, match="CKKS"):
         dev.rescale(h)
+
+
+# -- public API (api.KeySwitch plain_modulus extension) -----------------------
+
+
+@pytest.fixture()
+def api_vec():
+    from hexl_fpga_tpu.utils import vectors
+
+    return vectors.make_keyswitch_vector(
+        1024, 2, 3, seed=17, modulus_bits=45, plain_modulus=65537,
+    )
+
+
+def test_api_keyswitch_bgv_golden_executor(api_vec, monkeypatch):
+    """RUN_CHOICE=0: the public async API routes plain_modulus to the
+    golden executor and returns the BGV-corrected result."""
+    from hexl_fpga_tpu import config as config_mod
+
+    vec = api_vec
+    api.release_FPGA_resources()
+    monkeypatch.setenv("RUN_CHOICE", "0")
+    config_mod.reset_config()
+    api.acquire_FPGA_resources()
+    try:
+        res = vec.input.copy()
+        api.set_worksize_KeySwitch(1)
+        api.KeySwitch(
+            res, vec.t_target_iter_ptr, 1024, 2, 3, 3, 2, vec.moduli,
+            vec.key_vectors, vec.modswitch_factors, vec.twiddle_factors,
+            plain_modulus=65537,
+        )
+        assert api.KeySwitchCompleted()
+        np.testing.assert_array_equal(res.ravel(), vec.expected_output.ravel())
+    finally:
+        api.release_FPGA_resources()
+        monkeypatch.delenv("RUN_CHOICE")
+        config_mod.reset_config()
+
+
+@pytest.mark.heavy
+def test_api_keyswitch_bgv_emulation_executor(api_vec, monkeypatch):
+    """RUN_CHOICE=1: the XLA fallback (keyswitch_jax) applies the same GHS
+    correction — bit-exact vs the golden BGV expected output."""
+    from hexl_fpga_tpu import config as config_mod
+
+    vec = api_vec
+    api.release_FPGA_resources()
+    monkeypatch.setenv("RUN_CHOICE", "1")
+    config_mod.reset_config()
+    api.acquire_FPGA_resources()
+    try:
+        res = vec.input.copy()
+        api.set_worksize_KeySwitch(1)
+        api.KeySwitch(
+            res, vec.t_target_iter_ptr, 1024, 2, 3, 3, 2, vec.moduli,
+            vec.key_vectors, vec.modswitch_factors, vec.twiddle_factors,
+            plain_modulus=65537,
+        )
+        assert api.KeySwitchCompleted()
+        np.testing.assert_array_equal(res.ravel(), vec.expected_output.ravel())
+    finally:
+        api.release_FPGA_resources()
+        monkeypatch.delenv("RUN_CHOICE")
+        config_mod.reset_config()
+
+
+def test_api_keyswitch_rejects_non_coprime_plain_modulus(api_vec):
+    vec = api_vec
+    api.acquire_FPGA_resources()
+    res = vec.input.copy()
+    api.set_worksize_KeySwitch(1)
+    with pytest.raises(Exception, match="coprime"):
+        api.KeySwitch(
+            res, vec.t_target_iter_ptr, 1024, 2, 3, 3, 2, vec.moduli,
+            vec.key_vectors, vec.modswitch_factors, vec.twiddle_factors,
+            plain_modulus=int(vec.moduli[0]),
+        )
