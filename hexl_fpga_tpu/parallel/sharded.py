@@ -601,7 +601,8 @@ class ShardedKeySwitch:
     def __init__(self, mesh: Mesh, limb_axis: str, batch_axis: str | None,
                  n: int, decomp_modulus_size: int, key_modulus_size: int,
                  moduli: Sequence[int], engine_impl: str = "xla",
-                 tile_p: int = 2, interpret: bool | None = None):
+                 tile_p: int = 2, interpret: bool | None = None,
+                 plain_modulus: int | None = None):
         self.mesh = mesh
         self.limb_axis = limb_axis
         self.batch_axis = batch_axis
@@ -619,6 +620,26 @@ class ShardedKeySwitch:
         self.q_barr = [nt.barrett_factor(1, 64, q) for q in self.moduli]
         self.qk = self.moduli[self.K - 1]
         self.qk_half = self.qk >> 1
+        # BGV mode: the GHS correction digit sigma is computed once from the
+        # broadcast special-engine value e (it rides the SAME psum — zero
+        # extra collectives) and folded into each decomp tail; the widened
+        # f < 3*2^52 stays inside the 7-limb wide-input capacity (2^56), so
+        # the mxu engine kernels are reused unchanged (keyswitch_tpu._sigma)
+        self.plain_modulus = None if plain_modulus is None else int(plain_modulus)
+        if self.plain_modulus is not None:
+            from math import gcd
+
+            t = self.plain_modulus
+            assert t >= 2, "plain_modulus must be >= 2"
+            assert gcd(self.qk, t) == 1, (
+                "special modulus must be coprime to plain_modulus"
+            )
+            assert t < min(self.moduli), (
+                "plain_modulus must be below every coefficient modulus"
+            )
+            self.t_half = t >> 1
+            self.inv_qk_t = nt.inverse_mod(self.qk % t, t)
+            self.t_barr = nt.barrett_factor(1, 64, t)
         # engine transforms: 'mxu' = the fused four-step Pallas kernels (the
         # single-chip production tier, composed here with collectives —
         # VERDICT r1 gap); 'xla' = the butterfly cores (any n, incl. < 1024)
@@ -750,6 +771,22 @@ class ShardedKeySwitch:
         e_lo = jax.lax.psum(sum(r[2] for r in slot_results), self.limb_axis)
         e_hi = jax.lax.psum(sum(r[3] for r in slot_results), self.limb_axis)
 
+        # BGV: the per-coefficient GHS digit sigma = [(qk/2 - e) qk^{-1}
+        # + t/2]_t, computed on every shard from the broadcast e (elementwise
+        # mod-t work, no additional collective)
+        if self.plain_modulus is not None:
+            t = self.plain_modulus
+            e_t = w.barrett_reduce64((e_lo, e_hi), t, self.t_barr)
+            x = w.cond_sub64(
+                w.add64(
+                    w.sub64(w.const_pair(self.qk_half % t), e_t), t
+                ), t,
+            )
+            u = w.mul_mod_static(x, self.inv_qk_t, t)
+            sig = w.add_mod(u, self.t_half, t)
+        else:
+            sig = None
+
         # Phase 2 per slot: modswitch tail for decomp engines (again switch-
         # specialized per static modulus).  Each shard emits ONLY its owned
         # slots, (per_shard, B, 2, n); the out_spec concatenates them over
@@ -770,10 +807,18 @@ class ShardedKeySwitch:
                         if j < 0 or j == K - 1:
                             return zero_bn(), zero_bn()
                         q = self.moduli[j]
-                        fix = q - (self.qk_half % q)
+                        if sig is None:
+                            fix = q - (self.qk_half % q)
+                        else:
+                            fix = (-self.qk_half - self.qk * self.t_half) % q
                         outs = []
                         for k in range(2):
                             e = (e_lo[:, k, :], e_hi[:, k, :])
+                            if sig is not None:
+                                sk = (sig[0][:, k, :], sig[1][:, k, :])
+                                e = w.add64(
+                                    e, w.mul_mod_static(sk, self.qk % q, q)
+                                )
                             f = w.add64(e, fix)
                             if self.engine_impl != "mxu":
                                 f = w.barrett_reduce64(f, q, self.q_barr[j])

@@ -185,3 +185,23 @@ def test_sharded_keyswitch_comm_report_and_key_cache(devices):
     k1 = ks._staged_keys(vec.key_vectors)
     k2 = ks._staged_keys(vec.key_vectors)
     assert k1[0] is k2[0] and k1[1] is k2[1]
+
+
+def test_limb_sharded_keyswitch_bgv(devices):
+    """ShardedKeySwitch plain_modulus: the GHS digit is computed from the
+    broadcast special-engine value (no extra collectives) and every shard's
+    decomp tail matches the golden BGV model bit-exactly."""
+    n, L, K, t = 64, 3, 4, 257
+    vec = vectors.make_keyswitch_vector(
+        n, L, K, seed=7, modulus_bits=40, plain_modulus=t
+    )
+    mesh = Mesh(np.array(devices[:2]), ("mp",))
+    ks = sharded.ShardedKeySwitch(
+        mesh, "mp", None, n, L, K, vec.moduli, plain_modulus=t
+    )
+    B = 2
+    ts = np.stack([vec.t_target_iter_ptr] * B)
+    rs = np.stack([vec.input] * B)
+    got = ks.run(rs, ts, vec.key_vectors, vec.modswitch_factors)
+    for b in range(B):
+        np.testing.assert_array_equal(got[b], vec.expected_output)
