@@ -265,3 +265,21 @@ def test_api_keyswitch_rejects_non_coprime_plain_modulus(api_vec):
             vec.key_vectors, vec.modswitch_factors, vec.twiddle_factors,
             plain_modulus=int(vec.moduli[0]),
         )
+
+
+@pytest.mark.heavy
+def test_device_hoisted_rotations_bgv(dctx, dev):
+    """Hoisted BGV rotations (decompose once, apply many): the hoisted
+    apply's tail also folds the GHS digit, so every rotated ciphertext
+    decrypts EXACTLY (the hoisted gadget differs from rotate-then-keyswitch
+    by design, but the message mod t must be identical)."""
+    rng = np.random.default_rng(12)
+    t = dctx.t
+    z = rng.integers(0, t, size=dctx.n, dtype=np.uint64)
+    h = dev.stage(dctx.encrypt(z))
+    outs = dev.rotate_many(h, [0, 1, 7])
+    for r, o in zip([0, 1, 7], outs):
+        np.testing.assert_array_equal(
+            dctx.decrypt(dev.to_host(o)).reshape(2, -1),
+            np.roll(z.reshape(2, -1), -r, axis=1),
+        )
