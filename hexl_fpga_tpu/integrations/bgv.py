@@ -40,6 +40,45 @@ from . import ckks
 from .ckks import Ciphertext
 
 
+class BatchEncoder:
+    """SEAL BatchEncoder analog, shared by the BGV and BFV schemes.
+
+    Requires t ≡ 1 (mod 2n): the n slots are the evaluations of m(X) at the
+    odd powers of a primitive 2n-th root of unity mod t, laid out as a
+    2 x n/2 matrix — row 0 at exponents 5^j, row 1 at -5^j (the same orbits
+    the CKKS embedding uses, so the device evaluators' Galois sigma tables
+    apply unchanged: rotate = 5^r, conjugate/rotate_columns = row swap)."""
+
+    def __init__(self, n: int, t: int):
+        assert (t - 1) % (2 * n) == 0, "batching needs t ≡ 1 (mod 2n)"
+        self.n = n
+        self.t = t
+        self.tab_t = twiddles.ntt_tables(n, t)
+        b = n.bit_length() - 1
+        br = np.array([int(bin(p)[2:].zfill(b)[::-1], 2) for p in range(n)])
+        e_of_pos = 2 * br + 1  # golden NTT position p evaluates psi^e
+        pos_of_e = np.zeros(2 * n, dtype=np.int64)
+        pos_of_e[e_of_pos] = np.arange(n)
+        half = n // 2
+        g = np.array([pow(5, j, 2 * n) for j in range(half)])
+        self.slot_pos = np.concatenate(
+            [pos_of_e[g], pos_of_e[(2 * n - g) % (2 * n)]]
+        )  # (n,) NTT position of slot j (row-major 2 x n/2)
+
+    def to_poly(self, vals) -> List[int]:
+        """(n,) slot values mod t -> centered poly coefficients."""
+        a = np.zeros(self.n, dtype=np.uint64)
+        a[self.slot_pos] = np.asarray(vals, dtype=np.uint64)
+        m = golden.inv_ntt(a, self.t, self.tab_t)
+        return [int(v) - self.t if int(v) > self.t // 2 else int(v)
+                for v in m]
+
+    def to_slots(self, m_int) -> np.ndarray:
+        """poly coefficients (any lift) -> (n,) slot values mod t."""
+        arr = np.array([v % self.t for v in m_int], dtype=np.uint64)
+        return golden.fwd_ntt(arr, self.t, self.tab_t)[self.slot_pos]
+
+
 class BgvContext(ckks.CkksContext):
     """Parameters + keys for one BGV instantiation.
 
@@ -63,23 +102,7 @@ class BgvContext(ckks.CkksContext):
         self.t = t
         self._noise_scale = t  # fresh/key errors are t*e (BGV form)
         super().__init__(n, moduli, scale=1.0, seed=seed)
-        # slot layout: position p of the golden NTT layout evaluates at
-        # psi^(2*bitrev(p)+1); slot j of row 0 is exponent 5^j, row 1 is
-        # -5^j (the conjugate orbit) — the same orbits the CKKS embedding
-        # uses, so the device evaluator's Galois sigma tables apply as-is
-        self.tab_t = twiddles.ntt_tables(n, t)
-        b = n.bit_length() - 1
-        br = np.array(
-            [int(bin(p)[2:].zfill(b)[::-1], 2) for p in range(n)]
-        )
-        e_of_pos = 2 * br + 1
-        pos_of_e = np.zeros(2 * n, dtype=np.int64)
-        pos_of_e[e_of_pos] = np.arange(n)
-        half = n // 2
-        g = np.array([pow(5, j, 2 * n) for j in range(half)])
-        self._slot_pos = np.concatenate(
-            [pos_of_e[g], pos_of_e[(2 * n - g) % (2 * n)]]
-        )  # (n,) NTT position of slot j (row-major 2 x n/2)
+        self.encoder = BatchEncoder(n, t)
 
     # -- encode / decode (SEAL BatchEncoder analog) ---------------------------
 
@@ -93,24 +116,17 @@ class BgvContext(ckks.CkksContext):
         z = np.asarray(z)
         assert z.shape == (self.n,), "BGV encodes n slots (2 x n/2 matrix)"
         cf = 1 if scale is None else int(round(scale)) % self.t
-        vals = (z.astype(object) * cf) % self.t
-        a = np.zeros(self.n, dtype=np.uint64)
-        a[self._slot_pos] = vals.astype(np.uint64)
-        m = golden.inv_ntt(a, self.t, self.tab_t)
-        # center into (-t/2, t/2] so the lift into Q adds minimal noise
-        return [int(v) - self.t if int(v) > self.t // 2 else int(v)
-                for v in m]
+        vals = ((z.astype(object) * cf) % self.t).astype(np.uint64)
+        # centered into (-t/2, t/2] so the lift into Q adds minimal noise
+        return self.encoder.to_poly(vals)
 
     def decode(self, m_int: List[int], scale) -> np.ndarray:
         """Centered coefficients -> (n,) slot values mod t, correcting by
         the ciphertext's factor cf (scale): returns [m * cf^{-1}]_t."""
         cf = int(round(scale)) % self.t
-        arr = np.array([v % self.t for v in m_int], dtype=np.uint64)
-        a = golden.fwd_ntt(arr, self.t, self.tab_t)
+        a = self.encoder.to_slots(m_int)
         inv_cf = nt.inverse_mod(cf, self.t)
-        return (a[self._slot_pos].astype(object) * inv_cf % self.t).astype(
-            np.uint64
-        )
+        return (a.astype(object) * inv_cf % self.t).astype(np.uint64)
 
     # -- scheme-specific overrides -------------------------------------------
 
