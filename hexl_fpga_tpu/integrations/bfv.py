@@ -135,6 +135,25 @@ class BfvContext(ckks.CkksContext):
         m = [_div_round(self.t * x, Q) % self.t for x in v]
         return self.decode(m)
 
+    def noise_budget(self, ct: Ciphertext) -> int:
+        """SEAL's invariant_noise_budget analog: bits of headroom before
+        decryption fails.  v = [c0 + c1 s]_Q carries t*v/Q = m + frac with
+        |frac| < 1/2 required for correctness; the budget is
+        floor(log2(Q / (2 * max |[t*v]_Q centered|))) — 0 means the next
+        operation may corrupt the message."""
+        import math
+
+        nl = ct.level + 1
+        Q = self._Q(nl)
+        v = self._raw_decrypt(ct)
+        worst = max(
+            abs(r - Q if r > Q // 2 else r)
+            for r in ((self.t * x) % Q for x in v)
+        )
+        if worst == 0:
+            return Q.bit_length() - 1
+        return max(0, int(math.floor(math.log2(Q / (2 * worst)))))
+
     def _raw_decrypt(self, ct: Ciphertext) -> List[int]:
         """Centered [c0 + c1 s]_Q (big ints)."""
         nl = ct.level + 1

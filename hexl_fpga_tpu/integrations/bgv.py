@@ -128,6 +128,43 @@ class BgvContext(ckks.CkksContext):
         inv_cf = nt.inverse_mod(cf, self.t)
         return (a.astype(object) * inv_cf % self.t).astype(np.uint64)
 
+    def noise_budget(self, ct: Ciphertext) -> int:
+        """Bits of headroom before the centered value [c0 + c1 s]_Q wraps Q
+        and decryption fails: floor(log2(Q / (2 * max |v|))).  BGV carries
+        v = cf*m + t*e — unlike BFV there is no fractional rounding, the
+        whole centered magnitude is the budget consumer."""
+        import math
+
+        from .ckks import _obj
+
+        nl = ct.level + 1
+        moduli = self.moduli[:nl]
+        Q = 1
+        for q in moduli:
+            Q *= q
+        # centered [c0 + c1 s]_Q via per-limb decrypt + CRT (the parent's
+        # decrypt body, stopping before the mod-t step)
+        coeff = np.zeros((nl, self.n), dtype=np.uint64)
+        for j, q in enumerate(moduli):
+            s_ntt = golden.fwd_ntt(
+                np.array([v % q for v in self.s], dtype=np.uint64), q,
+                self.tabs[j],
+            )
+            v = (
+                _obj(ct.data[0, j]) + _obj(ct.data[1, j]) * s_ntt.astype(object)
+            ) % q
+            coeff[j] = golden.inv_ntt(v.astype(np.uint64), q, self.tabs[j])
+        m = [0] * self.n
+        for j, q in enumerate(moduli):
+            Qi = Q // q
+            mul = Qi * nt.inverse_mod(Qi % q, q)
+            for k in range(self.n):
+                m[k] = (m[k] + int(coeff[j, k]) * mul) % Q
+        worst = max(abs(v - Q if v > Q // 2 else v) for v in m)
+        if worst == 0:
+            return Q.bit_length() - 1
+        return max(0, int(math.floor(math.log2(Q / (2 * worst)))))
+
     # -- scheme-specific overrides -------------------------------------------
 
     def _keyswitch_accumulate(self, d01: np.ndarray, t_ntt: np.ndarray,

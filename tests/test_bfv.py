@@ -127,3 +127,19 @@ def test_device_rotate_matches_host_bfv():
     np.testing.assert_array_equal(
         got.reshape(2, -1), np.roll(z.reshape(2, -1), -4, axis=1)
     )
+
+
+def test_noise_budget_tracks_operations(ctx):
+    """invariant_noise_budget analog: fresh >> after multiply, and the
+    message stays exact while the budget is positive."""
+    rng = np.random.default_rng(7)
+    z1, z2 = rand_msg(rng), rand_msg(rng)
+    ct1 = ctx.encrypt(z1)
+    fresh = ctx.noise_budget(ct1)
+    assert fresh > 20
+    prod = ctx.multiply_relin(ct1, ctx.encrypt(z2))
+    after = ctx.noise_budget(prod)
+    assert 0 < after < fresh
+    np.testing.assert_array_equal(
+        ctx.decrypt(prod), z1.astype(object) * z2 % T
+    )

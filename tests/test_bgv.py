@@ -283,3 +283,14 @@ def test_device_hoisted_rotations_bgv(dctx, dev):
             dctx.decrypt(dev.to_host(o)).reshape(2, -1),
             np.roll(z.reshape(2, -1), -r, axis=1),
         )
+
+
+def test_noise_budget_tracks_operations(ctx):
+    rng = np.random.default_rng(13)
+    z1, z2 = rand_msg(rng), rand_msg(rng)
+    ct1 = ctx.encrypt(z1)
+    fresh = ctx.noise_budget(ct1)
+    assert fresh > 20
+    prod = ctx.multiply_relin(ct1, ctx.encrypt(z2))
+    after = ctx.noise_budget(prod)
+    assert 0 < after < fresh
