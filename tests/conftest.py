@@ -18,9 +18,16 @@ if not _HW:
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # XLA:CPU's LLVM optimization pipeline takes 40+ MINUTES on the big
+    # interpret-mode fused-keyswitch programs (measured, 1-core host) and
+    # buys nothing here — the CPU tier checks exact integer CORRECTNESS,
+    # not speed.  opt level 0 compiles the same program in ~30 s,
+    # bit-identically (integer semantics don't depend on optimization).
+    # The HW tier never sees this: it keeps the default pipeline.
+    if "xla_backend_optimization_level" not in flags:
+        flags = (flags + " --xla_backend_optimization_level=0").strip()
+    os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
