@@ -58,19 +58,23 @@ def main():
 
     keys = [jnp.asarray(x) for x in ctx.device_keys(vec.key_vectors)]
     msf4 = jnp.asarray(ctx.prepare_msf4(vec.modswitch_factors))
-    perm_tab = jnp.asarray(
-        np.stack([
-            _ntt_galois_sigma(n, pow(5, r + 1, 2 * n)) for r in range(S)
-        ]).astype(np.int32)
-    )
+    sigmas = np.stack([
+        _ntt_galois_sigma(n, pow(5, r + 1, 2 * n)) for r in range(S)
+    ]).astype(np.int32)
+    perm_tab = jnp.asarray(sigmas)
+    # per-step sigma^{-1}-permuted key stacks (deferred-automorphism apply;
+    # staged once, the production rotate_many pattern)
+    kstack = ctx.hoisted_key_stack(vec.key_vectors, list(sigmas))
     dlo, dhi = dec.dlo, dec.dhi
     r0 = w.to_pair_np(rs.reshape(B, 2, L, n))
 
     # hoisted chain: step i applies sigma_{i mod S}; accumulator carries
     def hoisted_step(i, rlo, rhi):
-        perm = perm_tab[jnp.remainder(i, S)]
+        s = jnp.remainder(i, S)
         olo, ohi = ctx._apply_hoisted(
-            dlo, dhi, rlo, rhi, *keys, msf4, perm=perm
+            dlo, dhi, rlo, rhi,
+            kstack[0][s], kstack[1][s], kstack[2][s], kstack[3][s],
+            msf4, perm=perm_tab[s],
         )
         return i + 1, olo, ohi
 

@@ -822,22 +822,23 @@ def _evaluator_apply_galois_hoisted(self, hh, g: int):
 
     nl = hh.level + 1
     ks = self._ks_ctx(nl)
-    keys = ks.device_keys(self.ctx._galois_keys_for(g))
+    sigma_np = _ntt_galois_sigma(self.ctx.n, g).astype(np.int32)
+    # sigma^{-1}-permuted keys, staged once per (g, key set): the apply then
+    # runs gather-free on the decomposition and permutes only its output
+    # (keyswitch_tpu._apply_hoisted deferred-automorphism scheme)
+    keys = ks.device_keys(self.ctx._galois_keys_for(g), hoist_perm=sigma_np)
     msf4 = ks.prepare_msf4(self.ctx.modswitch_factors)
     if not hasattr(self, "_sigma_n"):
         self._sigma_n = {}
     if g not in self._sigma_n:
-        self._sigma_n[g] = jnp.asarray(
-            _ntt_galois_sigma(self.ctx.n, g).astype(np.int32)
-        )
+        self._sigma_n[g] = jnp.asarray(sigma_np)
     key = ("hoisted_rot", nl)
     if key not in self._rot_fn:
         def fn(dlo, dhi, data32, s_idx, klo, khi, plo, phi, m4):
             lo, hi = w.deinterleave_jnp(data32)        # (2, nl, n)
-            c0p_lo = lo[0][:, s_idx]                   # permuted c0 planes
-            c0p_hi = hi[0][:, s_idx]
-            res_lo = jnp.stack([c0p_lo, jnp.zeros_like(c0p_lo)])[None]
-            res_hi = jnp.stack([c0p_hi, jnp.zeros_like(c0p_hi)])[None]
+            # UNPERMUTED accumulation base: out = sigma(c0 + delta0, delta1)
+            res_lo = jnp.stack([lo[0], jnp.zeros_like(lo[0])])[None]
+            res_hi = jnp.stack([hi[0], jnp.zeros_like(hi[0])])[None]
             olo, ohi = ks._apply_hoisted(
                 dlo, dhi, res_lo, res_hi, klo, khi, plo, phi, m4,
                 perm=s_idx,
@@ -891,13 +892,13 @@ def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
     if key not in self._rot_fn:
         def fn(dlo, dhi, data32, sperms, klo, khi, plo, phi, m4):
             lo, hi = w.deinterleave_jnp(data32)    # (2, nl, n)
+            # unpermuted base (deferred-automorphism apply; keys in the
+            # scanned stacks are pre-permuted per step)
+            res_lo = jnp.stack([lo[0], jnp.zeros_like(lo[0])])[None]
+            res_hi = jnp.stack([hi[0], jnp.zeros_like(hi[0])])[None]
 
             def body(carry, xs):
                 s_idx, a, b, c, d = xs
-                c0p_lo = lo[0][:, s_idx]
-                c0p_hi = hi[0][:, s_idx]
-                res_lo = jnp.stack([c0p_lo, jnp.zeros_like(c0p_lo)])[None]
-                res_hi = jnp.stack([c0p_hi, jnp.zeros_like(c0p_hi)])[None]
                 olo, ohi = ks._apply_hoisted(
                     dlo, dhi, res_lo, res_hi, a, b, c, d, m4, perm=s_idx
                 )
@@ -920,7 +921,11 @@ def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
         sub = uniq[c0 : c0 + chunk]
         gs = [pow(5, r, 2 * self.ctx.n) for r in sub]
         keysets = [
-            ks.device_keys(self.ctx._galois_keys_for(g)) for g in gs
+            ks.device_keys(
+                self.ctx._galois_keys_for(g),
+                hoist_perm=np.asarray(self._sigma_n[g]),
+            )
+            for g in gs
         ]
         kstack = tuple(
             jnp.stack([kset[i] for kset in keysets]) for i in range(4)

@@ -467,25 +467,63 @@ class KeySwitchTpuContext:
     # keys used round-robin) fully resident.
     KEY_CACHE_SLOTS = 8
 
-    def device_keys(self, k_switch_keys):
+    # permuted-key caches held per Galois sigma (hoisted rotations): each
+    # distinct permutation gets its own small PinnedKeyCache (a rotation
+    # step pairs ONE sigma with ONE Galois key set, so 1-2 slots suffice);
+    # the dict itself is LRU-bounded to cap device memory (~22 MB/set).
+    PERM_CACHE_SLOTS = 32
+
+    def device_keys(self, k_switch_keys, hoist_perm=None):
         """Upload-once key + precon cache — the analog of the reference's
         pointer-keyed keys_map_ (`host/src/fpga.cpp:1158-1165`), via the
         shared utils/keycache.PinnedKeyCache (LRU, source-array pinning,
         identity + content-checksum guarded; see that module for the
-        mutation contract and the HEXL_TPU_KEY_CHECKSUM=full knob)."""
-        if not hasattr(self, "_key_cache"):
-            from ..utils.keycache import PinnedKeyCache
+        mutation contract and the HEXL_TPU_KEY_CHECKSUM=full knob).
 
-            def stage(src):
-                keys = np.stack(
-                    [a.reshape(self.comp, self.K, self.n) for a in src]
-                )
-                klo, khi = w.to_pair_np(keys)
-                plo, phi = w.to_pair_np(self.key_precons(keys))
-                return tuple(jnp.asarray(x) for x in (klo, khi, plo, phi))
+        hoist_perm (an (n,) NTT-domain Galois sigma, concrete numpy) stages
+        the keys PRE-PERMUTED by sigma^{-1}: because the automorphism
+        commutes with the elementwise MAC, P(D_i) * k_i == P(D_i * P^{-1}k_i)
+        — so a hoisted apply can run its MAC/tail on the UNPERMUTED
+        decomposition against these keys and gather only the final output
+        (see _apply_hoisted).  The permutation runs once per (sigma, key
+        set) at stage time, never per apply."""
+        from ..utils.keycache import PinnedKeyCache
 
-            self._key_cache = PinnedKeyCache(self.KEY_CACHE_SLOTS, stage)
-        return self._key_cache.get(k_switch_keys)
+        def _stage(src, inv=None):
+            keys = np.stack(
+                [a.reshape(self.comp, self.K, self.n) for a in src]
+            )
+            if inv is not None:
+                keys = np.ascontiguousarray(keys[..., inv])
+            klo, khi = w.to_pair_np(keys)
+            plo, phi = w.to_pair_np(self.key_precons(keys))
+            return tuple(jnp.asarray(x) for x in (klo, khi, plo, phi))
+
+        if hoist_perm is None:
+            if not hasattr(self, "_key_cache"):
+                self._key_cache = PinnedKeyCache(self.KEY_CACHE_SLOTS, _stage)
+            return self._key_cache.get(k_switch_keys)
+        import hashlib
+
+        p = np.asarray(hoist_perm, dtype=np.int64).reshape(self.n)
+        pid = hashlib.blake2b(p.tobytes(), digest_size=16).digest()
+        if not hasattr(self, "_key_cache_perm"):
+            from collections import OrderedDict
+
+            self._key_cache_perm = OrderedDict()
+        cache = self._key_cache_perm.get(pid)
+        if cache is None:
+            inv = np.empty_like(p)
+            inv[p] = np.arange(self.n, dtype=np.int64)
+            cache = PinnedKeyCache(
+                2, functools.partial(_stage, inv=inv)
+            )
+            self._key_cache_perm[pid] = cache
+            while len(self._key_cache_perm) > self.PERM_CACHE_SLOTS:
+                self._key_cache_perm.popitem(last=False)
+        else:
+            self._key_cache_perm.move_to_end(pid)
+        return cache.get(k_switch_keys)
 
     def prepare_msf(self, modswitch_factors):
         msf = np.array(
@@ -644,6 +682,49 @@ class KeySwitchTpuContext:
                                msf4, jnp.int32(depth))
         return DeviceCiphertext(out32, self)
 
+    def run_device_chain_keyed(self, ct, target, key_sets,
+                               modswitch_factors, schedule
+                               ) -> "DeviceCiphertext":
+        """len(schedule) keyswitches compiled as ONE device program with
+        PER-STEP keys — the real rotation-chain pattern.  key_sets is a
+        list of S key sets (each the usual sequence of L (comp*K*n,) u64
+        arrays; all stay resident via the pinned key cache), schedule an
+        int sequence where step i uses key_sets[schedule[i]].  The S
+        staged key/precon tensors are stacked once and indexed by a TRACED
+        step inside the fori_loop, so any schedule of the same length (and
+        any key contents) shares one compiled program; per-link host
+        dispatch — the reference's per-op enqueue with key-fence re-upload
+        (`host/src/fpga.cpp:1158-1248`) and this library's own run_device
+        loop (~1.6 ms/link) — disappears entirely."""
+        if not isinstance(ct, DeviceCiphertext):
+            ct = self.stage_ciphertext(np.asarray(ct, dtype=np.uint64))
+        if not isinstance(target, DeviceTarget):
+            target = self.stage_target(np.asarray(target, dtype=np.uint64))
+        assert ct.ctx is self and target.ctx is self
+        sched = np.asarray(schedule, dtype=np.int32).reshape(-1)
+        assert sched.size > 0 and sched.min() >= 0
+        assert sched.max() < len(key_sets), "schedule indexes past key_sets"
+        staged = [self.device_keys(ks) for ks in key_sets]
+        kstack = tuple(
+            jnp.stack([s[i] for s in staged]) for i in range(4)
+        )
+        msf4 = self.prepare_msf4(modswitch_factors)
+        if not hasattr(self, "_chain_keyed_fn"):
+            def chain(ct32, t32, ka, kb, kc, kd, m4, sch):
+                def body(i, cur):
+                    s = sch[i]
+                    return self._build32(
+                        t32, cur, ka[s], kb[s], kc[s], kd[s], m4
+                    )
+
+                return jax.lax.fori_loop(0, sch.shape[0], body, ct32)
+
+            self._chain_keyed_fn = jax.jit(chain)
+        out32 = self._chain_keyed_fn(
+            ct.data32, target.data32, *kstack, msf4, jnp.asarray(sched)
+        )
+        return DeviceCiphertext(out32, self)
+
     def run_device(self, ct, target, k_switch_keys, modswitch_factors
                    ) -> "DeviceCiphertext":
         """KeySwitch entirely on device: ct/target may be handles (stay
@@ -701,24 +782,32 @@ class KeySwitchTpuContext:
         """Keyswitch from a hoisted decomposition D (see _decompose).
 
         perm, an optional (n,) int32 NTT-domain permutation (the Galois
-        sigma of ckks._ntt_galois_sigma), automorphs the DECOMPOSED target
-        before the MAC: perm(D)[j] row i is NTT_j(tau_g^int(y_i)) with the
-        SAME small integer representative tau_g^int(y_i) (coefficients in
-        (-q_i, q_i)) under every engine modulus — a valid gadget
-        decomposition of the rotated target, so the result is a correct
-        keyswitch of the automorphed ciphertext.  It is NOT bit-identical
-        to rotate-then-decompose (the canonical lift differs by q_i at
-        sign-wrapped coefficients) — the standard hoisting trade.  With
-        perm=None the output IS bit-identical to _build: every MAC input
-        has the same residue (D[j] row j is a lazy representative of the
-        target itself), and the tails canonicalize."""
+        sigma of ckks._ntt_galois_sigma), makes this an apply of the
+        AUTOMORPHED decomposition — with the permutation DEFERRED to the
+        output.  The keys MUST then be pre-permuted by sigma^{-1}
+        (device_keys(..., hoist_perm=sigma)): the automorphism tau commutes
+        with every ring-linear stage of the pipeline, so
+
+            P(D_i) * k_i == P(D_i * P^{-1} k_i)
+            out == P( tail(MAC(D, P^{-1}K)) + res )
+
+        where res is the UNPERMUTED accumulation base (e.g. the original
+        c0).  Instead of gathering all (L+1)*L*B decomposition planes per
+        apply (plus the c0 planes), ONE gather runs over the comp*L output
+        planes — 3.5-7x less permutation traffic, and the MAC/tail read D
+        with plain linear access.  Equal to the direct automorph-the-
+        decomposition form up to the standard hoisting rounding trade (tau
+        does not commute with the tail's integer lifts at sign-wrapped
+        coefficients — same class of representative difference as hoisting
+        itself vs rotate-then-decompose; the result decrypts identically up
+        to noise, property-tested in tests/test_ckks.py).  With perm=None
+        the output IS bit-identical to _build: every MAC input has the same
+        residue (D[j] row j is a lazy representative of the target itself),
+        and the tails canonicalize."""
         n, L, K, comp = self.n, self.L, self.K, self.comp
         moduli = self.moduli
         qk, qk_half = self.qk, self.qk_half
         B = res_lo.shape[0]
-        if perm is not None:
-            dlo = dlo[:, :, perm]
-            dhi = dhi[:, :, perm]
 
         def engine_acc(plane, j, q):
             # plane indexes the compact (L+1)-plane decomposition
@@ -758,7 +847,23 @@ class KeySwitchTpuContext:
             for k in range(comp):
                 out_lo = out_lo.at[:, k, j, :].set(outs[k][0])
                 out_hi = out_hi.at[:, k, j, :].set(outs[k][1])
+        if perm is not None:
+            # the deferred automorphism: one gather over the comp*L output
+            # planes (canonical residues permute to canonical residues)
+            out_lo = out_lo[..., perm]
+            out_hi = out_hi[..., perm]
         return out_lo, out_hi
+
+    def hoisted_key_stack(self, k_switch_keys, perms):
+        """Stack sigma^{-1}-permuted key/precon tensors for a fused
+        per-step hoisted scan (rotate_many-style): perms is a sequence of S
+        concrete (n,) sigmas; returns 4 arrays shaped (S,) + key shape,
+        step s holding device_keys(keys, hoist_perm=perms[s])."""
+        sets = [
+            self.device_keys(k_switch_keys, hoist_perm=np.asarray(p))
+            for p in perms
+        ]
+        return tuple(jnp.stack([s[i] for s in sets]) for i in range(4))
 
     def hoist(self, target) -> "DeviceDecomposition":
         """Decompose a keyswitch target ONCE for reuse across many
@@ -778,16 +883,24 @@ class KeySwitchTpuContext:
     def run_hoisted(self, dec, ct, k_switch_keys, modswitch_factors,
                     perm=None) -> "DeviceCiphertext":
         """Apply a keyswitch from a hoisted decomposition, accumulating into
-        ct (handle or host (B, comp*L*n) u64).  perm, if given, is an (n,)
-        NTT-domain Galois permutation; it is a TRACED argument, so every
-        rotation step of a hoisted batch shares one compiled program."""
+        ct (handle or host (B, comp*L*n) u64).  perm, if given, is a
+        CONCRETE (n,) numpy NTT-domain Galois permutation: the keys are
+        staged pre-permuted by sigma^{-1} (cached per sigma, see
+        device_keys) and the apply defers the gather to its output planes
+        (see _apply_hoisted); ct must then be the UNPERMUTED accumulation
+        base, and the output is perm(ct + delta).  The permutation is
+        traced inside the compiled program, so every rotation step of a
+        hoisted batch shares one compiled program per perm-presence."""
         if not isinstance(ct, DeviceCiphertext):
             ct = self.stage_ciphertext(np.asarray(ct, dtype=np.uint64))
         assert dec.ctx is self and ct.ctx is self
         assert dec.batch == ct.batch, (
             f"decomposition batch {dec.batch} != ciphertext batch {ct.batch}"
         )
-        klo, khi, plo, phi = self.device_keys(k_switch_keys)
+        klo, khi, plo, phi = self.device_keys(
+            k_switch_keys,
+            hoist_perm=None if perm is None else np.asarray(perm),
+        )
         msf4 = self.prepare_msf4(modswitch_factors)
         has_perm = perm is not None
         if not hasattr(self, "_hoisted_fns"):

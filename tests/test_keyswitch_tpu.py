@@ -203,6 +203,34 @@ def test_run_device_chain_matches_sequential(vec):
     np.testing.assert_array_equal(chained.to_host(), cur.to_host())
 
 
+def test_run_device_chain_keyed_matches_sequential(vec):
+    """The compiled PER-STEP-KEY chain (stacked key tensors indexed by a
+    traced step) must equal the same schedule run as sequential run_device
+    calls bit-for-bit."""
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
+        tile_p=2, interpret=True,
+    )
+    # a second key set over the SAME moduli: roll each (comp, K, n) plane
+    # along n (values stay canonical per modulus plane)
+    keys2 = [
+        np.roll(np.asarray(kv, np.uint64).reshape(2, 3, 1024), 7, axis=-1
+                ).reshape(-1)
+        for kv in vec.key_vectors
+    ]
+    key_sets = [vec.key_vectors, keys2]
+    schedule = [0, 1, 0]
+    h_t = ctx.stage_target(vec.t_target_iter_ptr[None])
+    cur = ctx.stage_ciphertext(vec.input[None])
+    for s in schedule:
+        cur = ctx.run_device(cur, h_t, key_sets[s], vec.modswitch_factors)
+    chained = ctx.run_device_chain_keyed(
+        vec.input[None], vec.t_target_iter_ptr[None], key_sets,
+        vec.modswitch_factors, schedule,
+    )
+    np.testing.assert_array_equal(chained.to_host(), cur.to_host())
+
+
 def test_hoisted_keyswitch_matches_run_batch(vec):
     """run_hoisted(perm=None) must be BIT-IDENTICAL to run_batch: every MAC
     input carries the same residue (D[j] row j is a lazy representative of
@@ -223,6 +251,44 @@ def test_hoisted_keyswitch_matches_run_batch(vec):
         vec.modswitch_factors, perm=np.arange(1024, dtype=np.int32),
     )
     np.testing.assert_array_equal(out2.to_host()[0], vec.expected_output)
+
+
+def test_hoisted_keyswitch_deferred_perm_identity(vec):
+    """run_hoisted(perm=sigma) uses the deferred-automorphism scheme: keys
+    staged pre-permuted by sigma^{-1}, the apply gather-free, one output
+    gather.  Its output must therefore be BIT-IDENTICAL to
+
+        sigma( run_batch(res, t, sigma^{-1}(keys), msf) )
+
+    — run_batch on the ORIGINAL target with host-permuted keys, then the
+    sigma gather applied per plane.  (HE-level validity of the rotation
+    semantics is covered by tests/test_ckks.py decryption tests.)"""
+    from hexl_fpga_tpu.integrations.ckks import _ntt_galois_sigma
+
+    n, L, comp, K = 1024, 2, 2, 3
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        n, L, K, L + 1, comp, vec.moduli, vec.twiddle_factors,
+        tile_p=2, interpret=True,
+    )
+    sigma = _ntt_galois_sigma(n, 5).astype(np.int32)
+    inv = np.empty_like(sigma)
+    inv[sigma] = np.arange(n, dtype=np.int32)
+    dec = ctx.hoist(np.asarray(vec.t_target_iter_ptr, np.uint64)[None])
+    out = ctx.run_hoisted(
+        dec, np.asarray(vec.input, np.uint64)[None], vec.key_vectors,
+        vec.modswitch_factors, perm=sigma,
+    ).to_host()[0]
+    keys_perm = [
+        np.asarray(kv, np.uint64).reshape(comp, K, n)[..., inv].reshape(-1)
+        for kv in vec.key_vectors
+    ]
+    inner = ctx.run_batch(
+        np.asarray(vec.input, np.uint64)[None],
+        np.asarray(vec.t_target_iter_ptr, np.uint64)[None],
+        keys_perm, vec.modswitch_factors,
+    )[0]
+    want = inner.reshape(comp, L, n)[..., sigma].reshape(-1)
+    np.testing.assert_array_equal(out, want)
 
 
 def test_hoisted_keyswitch_compact_planes_reduced_level():
