@@ -129,6 +129,37 @@ def bench_ntt():
     return med, spread
 
 
+def bench_inv_ntt(extras):
+    """Inverse NTT at the same shape as the forward headline (the reference
+    benches fwd and inv symmetrically, `benchmark/bench_inv_ntt.cpp`)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hexl_fpga_tpu.ops import golden, nt, ntt_mxu_pallas, word64 as w
+    from hexl_fpga_tpu.utils.retry import call_with_retry
+    from hexl_fpga_tpu.utils.timing import chain_timer
+
+    n = 16384
+    q = nt.generate_primes(1, 51, n)[0]
+    B = int(os.environ.get("BENCH_INV_BATCH", 2048))
+    TP = int(os.environ.get("BENCH_TILE_P", 4))
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, q, size=(B, n), dtype=np.uint64)
+    lo, hi = w.to_pair_np(a)
+    lo, hi = jnp.asarray(lo), jnp.asarray(hi)
+    raw = ntt_mxu_pallas.raw_inv_call(n, int(q), TP)
+    out = call_with_retry(ntt_mxu_pallas.inv_ntt_fn(n, int(q), TP), lo, hi)
+    jax.block_until_ready(out)
+    got = w.from_pair_np(np.asarray(out[0][:4]), np.asarray(out[1][:4]))
+    np.testing.assert_array_equal(got, golden.inv_ntt(a[:4], q))
+    log("[inv ntt] bit-exact vs golden: OK")
+    dt = chain_timer(raw, (lo, hi))
+    rate = B / dt
+    extras["inv_ntt_16384_throughput"] = round(rate, 1)
+    log(f"[inv ntt] {dt*1e3:.3f} ms/batch-{B} -> {rate:.0f} INTT/s")
+
+
 def bench_keyswitch(extras):
     """Flagship op at the reference's 16384_6_7_7_2 benchmark config;
     bit-exact vs the frozen committed vector, then timed three ways."""
@@ -211,16 +242,40 @@ def bench_keyswitch(extras):
     )
 
     # --- chained device-resident handles (one host fetch per chain) ------
-    # depth 64 ~ a bootstrapping-scale rotation chain: long enough that the
-    # single end-of-chain fetch amortizes and the rate is compute-dominated
+    # depth 64 ~ a bootstrapping-scale rotation chain with PER-STEP keys
+    # (the real rotation pattern): S distinct key sets ride the pinned
+    # cache as stacked tensors, the whole chain compiles to ONE program
+    # with the step's key selected by a traced index
+    # (run_device_chain_keyed), and the host fetches once at the end.
     depth = int(os.environ.get("BENCH_CHAIN_DEPTH", 64))
+    S = 4
+    key_sets = [vec.key_vectors] + [
+        [
+            np.roll(np.asarray(kv, np.uint64).reshape(2, K, n), s, axis=-1
+                    ).reshape(-1)
+            for kv in vec.key_vectors
+        ]
+        for s in range(1, S)
+    ]
+    # bit-exactness gate: a depth-2 keyed chain == two sequential
+    # run_device dispatches with the same per-step key sets
     h_t = ctx.stage_target(ts)
-    cur = ctx.stage_ciphertext(rs)
-    cur = ctx.run_device(cur, h_t, vec.key_vectors, vec.modswitch_factors)
-    cur.block_until_ready()  # warm
+    seq = ctx.run_device(rs, h_t, key_sets[0], vec.modswitch_factors)
+    seq = ctx.run_device(seq, h_t, key_sets[1], vec.modswitch_factors)
+    got2 = ctx.run_device_chain_keyed(
+        rs, h_t, key_sets, vec.modswitch_factors, [0, 1]
+    )
+    np.testing.assert_array_equal(got2.to_host(), seq.to_host())
+    log("[keyswitch] keyed chain depth-2 bit-exact vs sequential: OK")
+    schedule = [i % S for i in range(depth)]
+    cur = ctx.run_device_chain_keyed(
+        rs, h_t, key_sets, vec.modswitch_factors, schedule
+    )
+    cur.block_until_ready()  # warm/compile
     t0 = time.time()
-    for _ in range(depth):
-        cur = ctx.run_device(cur, h_t, vec.key_vectors, vec.modswitch_factors)
+    cur = ctx.run_device_chain_keyed(
+        cur, h_t, key_sets, vec.modswitch_factors, schedule
+    )
     cur.to_host()
     chained = depth * B / (time.time() - t0)
 
@@ -269,14 +324,21 @@ def bench_keyswitch(extras):
             )
             log("[keyswitch] hoisted bit-exact vs frozen vector: OK")
             S = 8
-            perm_tab = jnp.asarray(np.stack([
+            sigmas = np.stack([
                 _ntt_galois_sigma(n, pow(5, s + 1, 2 * n)) for s in range(S)
-            ]).astype(np.int32))
+            ]).astype(np.int32)
+            perm_tab = jnp.asarray(sigmas)
+            # sigma^{-1}-permuted key stacks (staged once per sigma): the
+            # deferred-automorphism apply runs the MAC/tail gather-free and
+            # permutes only its output planes
+            kstack = ctx.hoisted_key_stack(vec.key_vectors, list(sigmas))
 
             def hstep(i, rlo, rhi):
+                s = jnp.remainder(i, S)
                 olo, ohi = ctx._apply_hoisted(
-                    dec.dlo, dec.dhi, rlo, rhi, *keys, msf4,
-                    perm=perm_tab[jnp.remainder(i, S)],
+                    dec.dlo, dec.dhi, rlo, rhi,
+                    kstack[0][s], kstack[1][s], kstack[2][s], kstack[3][s],
+                    msf4, perm=perm_tab[s],
                 )
                 return i + 1, olo, ohi
 
@@ -353,11 +415,50 @@ def bench_dyadic():
     return med, gbs, spread
 
 
+def bench_dyadic_sweep(extras):
+    """Dyadic multiply across the reference's supported N range (README
+    1024..32768, `benchmark/bench_dyadic_multiply.cpp` sweeps worksize):
+    one rate per N so the driver record carries the whole capability."""
+    import numpy as np
+
+    from hexl_fpga_tpu.ops import dyadic_pallas, nt
+    from hexl_fpga_tpu.utils.retry import call_with_retry
+    from hexl_fpga_tpu.utils.timing import chain_timer
+
+    M = 14
+    sweep = {}
+    for n in (1024, 4096, 16384, 32768):
+        # keep per-op element count comparable: larger batch at small n
+        B = max(2, (16384 // n) * 8)
+        moduli = nt.generate_primes(M, 51, n)
+        rng = np.random.default_rng(n)
+        op1 = rng.integers(0, 2**52, size=(B, 2, M, n), dtype=np.uint64)
+        op2 = rng.integers(0, 2**52, size=(B, 2, M, n), dtype=np.uint64)
+        for m, q in enumerate(moduli):
+            op1[:, :, m, :] %= np.uint64(q)
+            op2[:, :, m, :] %= np.uint64(q)
+        runner = dyadic_pallas.runner(tuple(int(q) for q in moduli), n)
+        _, dev_args = call_with_retry(runner.first_run, op1, op2)
+
+        def step(l1, h1, l2, h2):
+            olo, ohi = runner.device_call(l1, h1, l2, h2)
+            return olo[:, 0:2], ohi[:, 0:2], olo[:, 1:3], ohi[:, 1:3]
+
+        dt = chain_timer(step, tuple(dev_args))
+        sweep[str(n)] = round(B / dt, 1)
+        log(f"[dyadic sweep n={n}] {B/dt:.0f} op/s (B={B})")
+    extras["dyadic_sweep"] = sweep
+
+
 def main():
     extras = {}
     ntt_per_sec, ntt_spread = bench_ntt()
     extras["fwd_ntt_spread_pct"] = round(ntt_spread, 1)
     if os.environ.get("BENCH_NTT_ONLY") != "1":
+        try:
+            bench_inv_ntt(extras)
+        except Exception as exc:  # pragma: no cover
+            log(f"inv ntt bench failed: {type(exc).__name__}: {exc}")
         try:
             ks_dev, ks_e2e, ks_chain = bench_keyswitch(extras)
             extras["keyswitch_16384_6_7_7_2_device_op_per_s"] = round(ks_dev, 1)
@@ -374,6 +475,10 @@ def main():
             extras["dyadic_spread_pct"] = round(dy_spread, 1)
         except Exception as exc:  # pragma: no cover
             log(f"dyadic bench failed: {type(exc).__name__}: {exc}")
+        try:
+            bench_dyadic_sweep(extras)
+        except Exception as exc:  # pragma: no cover
+            log(f"dyadic sweep bench failed: {type(exc).__name__}: {exc}")
 
     print(
         json.dumps(
