@@ -640,6 +640,19 @@ class ShardedKeySwitch:
             self.t_half = t >> 1
             self.inv_qk_t = nt.inverse_mod(self.qk % t, t)
             self.t_barr = nt.barrett_factor(1, 64, t)
+        # the per-decomp-modulus tail prologue constant (CKKS/BFV: the
+        # intt2_redu fix; BGV: the GHS-corrected variant) — shared by the
+        # fused tail kernels and the XLA tail branch
+        if self.plain_modulus is not None:
+            self._fix = [
+                (-self.qk_half - self.qk * self.t_half) % self.moduli[j]
+                for j in range(self.L)
+            ]
+        else:
+            self._fix = [
+                self.moduli[j] - (self.qk_half % self.moduli[j])
+                for j in range(self.L)
+            ]
         # engine transforms: 'mxu' = the fused four-step Pallas kernels (the
         # single-chip production tier, composed here with collectives —
         # VERDICT r1 gap); 'xla' = the butterfly cores (any n, incl. < 1024)
@@ -658,15 +671,30 @@ class ShardedKeySwitch:
             self.tile_p = tile_p
             # data_bits=53: engines consume INTT1 outputs (canonical under a
             # DIFFERENT modulus, < 2^52) and e + fix (< 2^53) unreduced —
-            # same wide-input trick as the single-chip keyswitch
+            # same wide-input trick as the single-chip keyswitch.  Engine
+            # transforms emit LAZY u64 representatives (canonical=False):
+            # their consumer is the Harvey lazy MAC, exact for any u64
+            # input — the single-chip production schedule, now also here.
             self._mxu_fwd = [
                 ntt_mxu_pallas.raw_fwd_call(n, q, tile_p, interpret=interpret,
-                                            data_bits=53)
+                                            canonical=False, data_bits=53)
                 for q in self.moduli
             ]
             self._mxu_inv = [
                 ntt_mxu_pallas.raw_inv_call(n, q, tile_p, interpret=interpret)
                 for q in self.moduli
+            ]
+            # fused tail kernels (one per decomp modulus): +fix prologue,
+            # tail NTT, Barrett of the lazy MAC accumulator, ms, accumulate
+            # — one VMEM pass, identical to the single-chip production tail
+            # (keyswitch_tpu fused_tail; VERDICT r3 'next' #3)
+            self._tail = [
+                ntt_mxu_pallas.raw_fwd_tail_call(
+                    n, self.moduli[j], self._fix[j], tile_p,
+                    interpret=interpret,
+                    data_bits=54 if self.plain_modulus is not None else None,
+                )
+                for j in range(self.L)
             ]
             self.tabs = None
         else:
@@ -694,14 +722,17 @@ class ShardedKeySwitch:
         olo, ohi = call(lo, hi)
         return olo[:B], ohi[:B]
 
-    def _local(self, t_lo, t_hi, keys_lo, keys_hi, res_lo, res_hi,
-               msf_lo, msf_hi):
-        """Per-shard body. t: (B, L, n) replicated across mp; res: (B, 2, L, n).
+    def _local(self, t_lo, t_hi, keys_lo, keys_hi, kp_lo, kp_hi,
+               res_lo, res_hi, msf4):
+        """Per-shard body. t: (B, L, n) replicated across mp; res: (B, 2, L, n);
+        msf4: (K, 4) uint32 modswitch rows [lo, hi, precon_lo, precon_hi].
 
         Each shard runs only its own engines: the engine identity is selected
         with lax.switch on the shard index (only the taken branch executes at
         runtime; each branch is specialized to its engine's static modulus).
         Shard outputs are zero outside owned engines and psum-combined."""
+        from ..ops.keyswitch_tpu import KeySwitchTpuContext as KS
+
         n, L, K = self.n, self.L, self.K
         me = jax.lax.axis_index(self.limb_axis)
         B = t_lo.shape[0]
@@ -714,21 +745,26 @@ class ShardedKeySwitch:
         coeff = [self._inv_t(tp(i), i) for i in range(L)]
 
         def engine_acc(j):
+            # deferred-quotient Harvey lazy MAC — the single-chip production
+            # schedule (keyswitch_tpu._mac_term/_mac_close): 6 32x32 partials
+            # per term instead of mul_mod_static's 10, one Q*q subtraction
+            # per engine-component; exact for any u64 representative, so the
+            # mxu engine transforms feed it lazily (no Barrett in between)
             q = self.moduli[j]
             acc = [None, None]
             for i in range(L):
                 if i == j:
                     val = tp(i)
                 elif self.engine_impl == "mxu":
-                    val = self._fwd_t(coeff[i], j)  # wide-input: no reduce
+                    val = self._fwd_t(coeff[i], j)  # wide-input, lazy out
                 else:
                     red = w.barrett_reduce64(coeff[i], q, self.q_barr[j])
                     val = self._fwd_t(red, j)
                 for k in range(2):
                     key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
-                    prod = w.mul_mod_static(val, key, q)
-                    acc[k] = prod if acc[k] is None else w.add_mod(acc[k], prod, q)
-            return acc
+                    kp = (kp_lo[i, k, j, :], kp_hi[i, k, j, :])
+                    acc[k] = KS._mac_term(acc[k], val, key, kp)
+            return [KS._mac_close(a, q) for a in acc]
 
         zero_bn = lambda: jnp.zeros((B, 2, n), jnp.uint32)
 
@@ -751,13 +787,18 @@ class ShardedKeySwitch:
                             els = []
                             ehs = []
                             for k in range(2):
-                                d = self._inv_t(acc[k], K - 1)
+                                a = w.barrett_reduce64(
+                                    acc[k], self.qk, self.q_barr[K - 1]
+                                )
+                                d = self._inv_t(a, K - 1)
                                 e = w.add_mod(d, self.qk_half, self.qk)
                                 els.append(e[0])
                                 ehs.append(e[1])
                             return (zero_bn(), zero_bn(),
                                     jnp.stack(els, 1), jnp.stack(ehs, 1),
                                     jnp.int32(0))
+                        # decomp engines carry the LAZY u64 accumulator
+                        # (< 28q < 2^58); the tail Barretts it
                         alo = jnp.stack([acc[0][0], acc[1][0]], 1)
                         ahi = jnp.stack([acc[0][1], acc[1][1]], 1)
                         return (alo, ahi, zero_bn(), zero_bn(), jnp.int32(j))
@@ -807,27 +848,60 @@ class ShardedKeySwitch:
                         if j < 0 or j == K - 1:
                             return zero_bn(), zero_bn()
                         q = self.moduli[j]
-                        if sig is None:
-                            fix = q - (self.qk_half % q)
-                        else:
-                            fix = (-self.qk_half - self.qk * self.t_half) % q
-                        outs = []
-                        for k in range(2):
+
+                        def e_k(k):
                             e = (e_lo[:, k, :], e_hi[:, k, :])
                             if sig is not None:
+                                # BGV: fold the GHS digit into e before the
+                                # transform (f == d' mod q, < 2^54 wide-ok)
                                 sk = (sig[0][:, k, :], sig[1][:, k, :])
                                 e = w.add64(
                                     e, w.mul_mod_static(sk, self.qk % q, q)
                                 )
-                            f = w.add64(e, fix)
-                            if self.engine_impl != "mxu":
-                                f = w.barrett_reduce64(f, q, self.q_barr[j])
+                            return e
+
+                        if self.engine_impl == "mxu":
+                            # production fused tail (single Pallas kernel):
+                            # +fix prologue, tail NTT, Barrett of the lazy
+                            # accumulator, ms, accumulate — k-major rows
+                            ek = [e_k(k) for k in range(2)]
+                            el = jnp.concatenate([ek[0][0], ek[1][0]])
+                            eh = jnp.concatenate([ek[0][1], ek[1][1]])
+                            al = jnp.concatenate([alo[:, 0], alo[:, 1]])
+                            ah = jnp.concatenate([ahi[:, 0], ahi[:, 1]])
+                            rl = jnp.concatenate(
+                                [res_lo[:, 0, j, :], res_lo[:, 1, j, :]]
+                            )
+                            rh = jnp.concatenate(
+                                [res_hi[:, 0, j, :], res_hi[:, 1, j, :]]
+                            )
+                            pad = (-el.shape[0]) % self.tile_p
+                            if pad:
+                                z = jnp.zeros((pad, n), jnp.uint32)
+                                el, eh, al, ah, rl, rh = (
+                                    jnp.concatenate([x, z])
+                                    for x in (el, eh, al, ah, rl, rh)
+                                )
+                            ol, oh = self._tail[j](el, eh, al, ah, rl, rh,
+                                                   msf4[j])
+                            return (
+                                jnp.stack([ol[:B], ol[B : 2 * B]], 1),
+                                jnp.stack([oh[:B], oh[B : 2 * B]], 1),
+                            )
+                        fix = self._fix[j]
+                        outs = []
+                        for k in range(2):
+                            f = w.add64(e_k(k), fix)
+                            f = w.barrett_reduce64(f, q, self.q_barr[j])
                             g = self._fwd_t(f, j)
-                            acc = (alo[:, k, :], ahi[:, k, :])
+                            acc = w.barrett_reduce64(
+                                (alo[:, k, :], ahi[:, k, :]), q,
+                                self.q_barr[j],
+                            )
                             t1 = w.reduce_mod_factor(
                                 w.add64(w.sub64(acc, g), 4 * q), q, 8
                             )
-                            msf = (msf_lo[j], msf_hi[j])
+                            msf = (msf4[j, 0], msf4[j, 1])
                             delta = w.mul_mod_static(t1, msf, q)
                             r_in = (res_lo[:, k, j, :], res_hi[:, k, j, :])
                             outs.append(w.cond_sub64(w.add64(r_in, delta), q))
@@ -851,13 +925,14 @@ class ShardedKeySwitch:
         data_in = P(bspec, None, None)
         res_in = P(bspec, None, None, None)
         rep = P(None, None, None, None)
-        msf = P(None)
+        msf = P(None, None)
         # output: slot-major (P*per_shard, B, 2, n), SHARDED over the limb
         # axis — each shard materializes only its owned engine slices
         slot_out = P(ax, bspec, None, None)
         kwargs = dict(
             mesh=self.mesh,
-            in_specs=(data_in, data_in, rep, rep, res_in, res_in, msf, msf),
+            in_specs=(data_in, data_in, rep, rep, rep, rep,
+                      res_in, res_in, msf),
             out_specs=(slot_out, slot_out),
         )
         try:
@@ -866,8 +941,9 @@ class ShardedKeySwitch:
             fn = shard_map(self._local, check_rep=False, **kwargs)
         L = self.L
 
-        def full(t_lo, t_hi, klo, khi, r_lo, r_hi, mlo, mhi):
-            s_lo, s_hi = fn(t_lo, t_hi, klo, khi, r_lo, r_hi, mlo, mhi)
+        def full(t_lo, t_hi, klo, khi, kplo, kphi, r_lo, r_hi, msf4):
+            s_lo, s_hi = fn(t_lo, t_hi, klo, khi, kplo, kphi,
+                            r_lo, r_hi, msf4)
             # decomp engine j lives at global slot j (engines = [0..L-1,
             # special, pads...]): gathering slots [0, L) moves exactly the
             # owned result slices, nothing else
@@ -891,8 +967,8 @@ class ShardedKeySwitch:
         }
 
     def _staged_keys(self, k_switch_keys):
-        """Upload-once device key cache for the sharded path (the analog of
-        the single-chip context's device_keys)."""
+        """Upload-once device key + Harvey-precon cache for the sharded path
+        (the analog of the single-chip context's device_keys)."""
         if not hasattr(self, "_key_cache"):
             from ..utils.keycache import PinnedKeyCache
 
@@ -900,11 +976,28 @@ class ShardedKeySwitch:
                 keys = np.stack(
                     [a.reshape(2, self.K, self.n) for a in src]
                 )
+                prec = np.zeros_like(keys)
+                for j in range(self.K):
+                    q = self.moduli[j]
+                    col = keys[:, :, j, :].astype(object)
+                    prec[:, :, j, :] = ((col << 64) // q).astype(np.uint64)
                 klo, khi = w.to_pair_np(keys)
-                return jnp.asarray(klo), jnp.asarray(khi)
+                plo, phi = w.to_pair_np(prec)
+                return tuple(jnp.asarray(x) for x in (klo, khi, plo, phi))
 
             self._key_cache = PinnedKeyCache(8, stage)
         return self._key_cache.get(k_switch_keys)
+
+    def prepare_msf4(self, modswitch_factors) -> np.ndarray:
+        """(K, 4) uint32 [msf_lo, msf_hi, precon_lo, precon_hi] rows (same
+        layout as the single-chip context's prepare_msf4)."""
+        out = np.zeros((self.K, 4), dtype=np.uint32)
+        for j, (m, q) in enumerate(zip(modswitch_factors, self.moduli)):
+            m = int(m) % q
+            prec = (m << 64) // q
+            out[j] = (m & 0xFFFFFFFF, m >> 32,
+                      prec & 0xFFFFFFFF, (prec >> 32) & 0xFFFFFFFF)
+        return out
 
     def run(self, results, t_targets, k_switch_keys, modswitch_factors):
         """results: (B, 2*L*n), t_targets: (B, L*n) numpy -> (B, 2*L*n)."""
@@ -914,11 +1007,8 @@ class ShardedKeySwitch:
         n, L = self.n, self.L
         t = w.to_pair_np(np.asarray(t_targets, dtype=np.uint64).reshape(B, L, n))
         r = w.to_pair_np(np.asarray(results, dtype=np.uint64).reshape(B, 2, L, n))
-        klo, khi = self._staged_keys(k_switch_keys)
-        msf = np.array(
-            [int(m) % q for m, q in zip(modswitch_factors, self.moduli)],
-            dtype=np.uint64,
-        )
-        mlo, mhi = w.to_pair_np(msf)
-        olo, ohi = self._fn(t[0], t[1], klo, khi, r[0], r[1], mlo, mhi)
+        klo, khi, kplo, kphi = self._staged_keys(k_switch_keys)
+        msf4 = jnp.asarray(self.prepare_msf4(modswitch_factors))
+        olo, ohi = self._fn(t[0], t[1], klo, khi, kplo, kphi,
+                            r[0], r[1], msf4)
         return w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(B, -1)

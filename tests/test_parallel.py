@@ -205,3 +205,45 @@ def test_limb_sharded_keyswitch_bgv(devices):
     got = ks.run(rs, ts, vec.key_vectors, vec.modswitch_factors)
     for b in range(B):
         np.testing.assert_array_equal(got[b], vec.expected_output)
+
+
+@pytest.mark.heavy
+def test_limb_sharded_keyswitch_bgv_mxu_engines(devices):
+    """BGV sharded keyswitch on the fused-MXU production tail (the GHS digit
+    folded into e rides the data_bits=54 wide-input tail kernel)."""
+    n, L, K, t = 1024, 2, 3, 257
+    vec = vectors.make_keyswitch_vector(
+        n, L, K, seed=5, modulus_bits=45, plain_modulus=t
+    )
+    mesh = Mesh(np.array(devices[:2]), ("mp",))
+    ks = sharded.ShardedKeySwitch(
+        mesh, "mp", None, n, L, K, vec.moduli, engine_impl="mxu",
+        tile_p=2, plain_modulus=t,
+    )
+    B = 2
+    ts = np.stack([vec.t_target_iter_ptr] * B)
+    rs = np.stack([vec.input] * B)
+    got = ks.run(rs, ts, vec.key_vectors, vec.modswitch_factors)
+    for b in range(B):
+        np.testing.assert_array_equal(got[b], vec.expected_output)
+
+
+def test_scaling_projection_model():
+    """The projection model (BASELINE.md scaling deliverable): P=1 is the
+    identity, efficiency decreases monotonically with P, and the worst-chip
+    row count mirrors ShardedKeySwitch's slot layout."""
+    from hexl_fpga_tpu.parallel import projection
+
+    p1 = projection.keyswitch_mp_projection(1, t1_ms=9.4, batch=32)
+    assert p1.comm_ms == 0.0
+    assert abs(p1.t_p_ms - 9.4) < 1e-6 and p1.efficiency == 1.0
+    effs = [
+        projection.keyswitch_mp_projection(P, t1_ms=9.4, batch=32).efficiency
+        for P in (2, 4, 8)
+    ]
+    assert all(e1 > e2 for e1, e2 in zip(effs, effs[1:]))
+    assert all(0.3 < e < 1.0 for e in effs)
+    s1 = projection.dist_ntt_sp_projection(1, t1_ms=15.2, batch=4096)
+    assert s1.efficiency == 1.0
+    rep = projection.report()
+    assert "mp (keyswitch latency) P=8" in rep and "dp (batch" in rep
