@@ -27,12 +27,16 @@ def main():
     # reference-shipped configs: {N}_6_7_7_2 and {N}_5_7_6_2 at N in
     # {16384, 8192}; small configs added for fast CI
     if frozen:
-        # (n, L, K, seeds, gzip): small fixtures as plain JSON; the flagship
-        # 16384_6_7_7_2 compressed (its payload is ~19 MB of random residues)
+        # (n, L, K, seeds, gzip): small fixtures as plain JSON; the large
+        # reference configs compressed (~9-19 MB of random residues each).
+        # 8192/16384 x {6_7_7_2, 5_7_6_2} mirror the reference's recorded
+        # test matrix (`tests/micro_keyswitch.sh:20-34`).
         configs = [
             (1024, 2, 3, 2, False),
             (2048, 3, 4, 1, False),
             (1024, 5, 7, 1, False),
+            (8192, 5, 7, 1, True),
+            (8192, 6, 7, 1, True),
             (16384, 6, 7, 1, True),
         ]
     else:
@@ -46,11 +50,16 @@ def main():
         ]
     for n, L, K, seeds, gz in configs:
         for seed in range(seeds):
+            ext = "json.gz" if gz else "json"
+            rns = L + 1
+            path = os.path.join(outdir, f"{n}_{L}_{K}_{rns}_2_{seed}.{ext}")
+            if frozen and os.path.exists(path):
+                print("exists", path)  # never churn committed frozen bytes
+                continue
             vec = vectors.make_keyswitch_vector(
                 n, L, K, seed=seed, modulus_bits=51
             )
-            ext = "json.gz" if gz else "json"
-            path = os.path.join(outdir, f"{vec.config_name}_{seed}.{ext}")
+            assert f"{vec.config_name}_{seed}.{ext}" == os.path.basename(path)
             vectors.save_json(vec, path)
             print("wrote", path)
 

@@ -83,6 +83,25 @@ def test_flagship_vector_loads_and_schema_checks():
     assert np.asarray(vec.twiddle_factors).size == 4 * K * n
 
 
+@pytest.mark.parametrize("config", ["8192_5_7_6_2", "8192_6_7_7_2"])
+def test_8192_frozen_vectors_bit_exact(config):
+    """The reference's recorded-vector matrix runs BOTH configs at both
+    N in {16384, 8192} (`tests/micro_keyswitch.sh:20-34`); the frozen set
+    carries 8192 for both configs — assert them bit-exact through the
+    golden model (the TPU path equals golden via test_keyswitch_tpu /
+    bench.py gates)."""
+    files = glob.glob(os.path.join(DEFAULT_DATA_DIR, f"{config}_*.json*"))
+    assert files, f"frozen {config} vector missing from tests/testdata/"
+    vec = vectors.load_json(sorted(files)[0])
+    got = golden.keyswitch(
+        vec.input, vec.t_target_iter_ptr, vec.coeff_count,
+        vec.decomp_modulus_size, vec.key_modulus_size,
+        vec.rns_modulus_size, vec.key_component_count, vec.moduli,
+        vec.key_vectors, vec.modswitch_factors, vec.twiddle_factors,
+    )
+    np.testing.assert_array_equal(got, vec.expected_output)
+
+
 @pytest.mark.heavy
 def test_tpu_path_matches_vectors(vecs):
     from hexl_fpga_tpu.ops import keyswitch_tpu
