@@ -452,12 +452,11 @@ class KeySwitchTpuContext:
 
     def key_precons(self, keys: np.ndarray):
         """floor(key << 64 / q_j) per element — the Harvey precon tables for
-        the in-flight MAC (one-time host precompute per key set)."""
+        the in-flight MAC (one-time host precompute per key set; vectorized
+        long division, ~0.1 s per flagship set — w.precon64_np)."""
         prec = np.zeros_like(keys)
         for j in range(self.K):
-            q = self.moduli[j]
-            col = keys[:, :, j, :].astype(object)
-            prec[:, :, j, :] = ((col << 64) // q).astype(np.uint64)
+            prec[:, :, j, :] = w.precon64_np(keys[:, :, j, :], self.moduli[j])
         return prec
 
     # key-set cache size: the reference's keys_map_ caches every key set it

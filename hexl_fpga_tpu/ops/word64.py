@@ -69,6 +69,36 @@ def from_interleaved_np(x32: np.ndarray) -> np.ndarray:
     return x32.view(np.uint64)
 
 
+def precon64_np(k: np.ndarray, q: int) -> np.ndarray:
+    """floor(k << 64 / q) elementwise, exact, vectorized — the Harvey
+    precon table for a key/twiddle plane (k < q < 2^63).
+
+    Base-2^8 long division keeps every intermediate < 2^63 in u64 lanes
+    (rem < q < 2^63 after each step would overflow at base 2^16 for 52-bit
+    q; base 2^8 gives rem*256 + digit < 2^63 for q < 2^55).  Replaces the
+    Python-object bigint loop (~10 s per flagship key set; this runs in
+    ~0.1 s), which matters because hoisted rotations stage one permuted
+    key+precon set per Galois element."""
+    k = np.asarray(k, dtype=np.uint64)
+    q = int(q)
+    assert 2 <= q < (1 << 55), "precon64_np supports q < 2^55"
+    assert k.size == 0 or int(k.max()) < q, "precon64_np requires k < q"
+    qv = np.uint64(q)
+    out = np.zeros_like(k)
+    rem = np.zeros_like(k)
+    # N = k * 2^64: 16 base-2^8 digits = k's 8 bytes then 8 zero bytes
+    for step in range(16):
+        digit = (
+            (k >> np.uint64(8 * (7 - step))) & np.uint64(0xFF)
+            if step < 8 else np.uint64(0)
+        )
+        rem = (rem << np.uint64(8)) | digit
+        d = rem // qv  # rem*256 + digit < q*256 => d < 256, rem' < q
+        rem -= d * qv
+        out = (out << np.uint64(8)) | d  # quotient < 2^64 since k < q
+    return out
+
+
 def deinterleave_jnp(x32: jnp.ndarray) -> U64Pair:
     """(..., 2n) interleaved u32 -> ((..., n) lo, (..., n) hi) on device."""
     shp = x32.shape[:-1] + (x32.shape[-1] // 2, 2)

@@ -978,9 +978,9 @@ class ShardedKeySwitch:
                 )
                 prec = np.zeros_like(keys)
                 for j in range(self.K):
-                    q = self.moduli[j]
-                    col = keys[:, :, j, :].astype(object)
-                    prec[:, :, j, :] = ((col << 64) // q).astype(np.uint64)
+                    prec[:, :, j, :] = w.precon64_np(
+                        keys[:, :, j, :], self.moduli[j]
+                    )
                 klo, khi = w.to_pair_np(keys)
                 plo, phi = w.to_pair_np(prec)
                 return tuple(jnp.asarray(x) for x in (klo, khi, plo, phi))

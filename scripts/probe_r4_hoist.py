@@ -113,24 +113,29 @@ def main():
     )
     log(f"[4] full keyswitch device: {B/dt:.0f} op/s ({dt*1e3:.2f} ms/b{B})")
 
-    Sh = 8
+    Sh = int(os.environ.get("HOIST_STEPS", 8))
     sigmas = np.stack([
         _ntt_galois_sigma(n, pow(5, s + 1, 2 * n)) for s in range(Sh)
     ]).astype(np.int32)
     perm_tab = jnp.asarray(sigmas)
+    t0 = time.time()
     kstack = ctx.hoisted_key_stack(vec.key_vectors, list(sigmas))
+    jax.block_until_ready(kstack)
+    log(f"[4] hoisted key stacks staged in {time.time()-t0:.0f}s")
 
-    def hstep(i, rlo, rhi):
+    # big tensors ride the chain STATE (XLA parameters), not the closure
+    def hstep(i, rlo, rhi, dlo, dhi, ka, kb, kc, kd, pt, m4):
         s = jnp.remainder(i, Sh)
         olo, ohi = ctx._apply_hoisted(
-            dec.dlo, dec.dhi, rlo, rhi,
-            kstack[0][s], kstack[1][s], kstack[2][s], kstack[3][s],
-            msf4, perm=perm_tab[s],
+            dlo, dhi, rlo, rhi, ka[s], kb[s], kc[s], kd[s],
+            m4, perm=pt[s],
         )
-        return i + 1, olo, ohi
+        return (i + 1, olo, ohi, dlo, dhi, ka, kb, kc, kd, pt, m4)
 
     dt_h = chain_timer(
-        hstep, (jnp.int32(0), jnp.asarray(r[0]), jnp.asarray(r[1])),
+        hstep,
+        (jnp.int32(0), jnp.asarray(r[0]), jnp.asarray(r[1]),
+         dec.dlo, dec.dhi, *kstack, perm_tab, msf4),
         i1=2, i2=8,
     )
     log(f"[4] hoisted apply: {B/dt_h:.0f} op/s ({dt_h*1e3:.2f} ms/b{B}) "

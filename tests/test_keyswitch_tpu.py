@@ -16,11 +16,19 @@ def vec():
     return vectors.make_keyswitch_vector(1024, 2, 3, seed=11, modulus_bits=45)
 
 
-def test_keyswitch_tpu_with_caller_twiddles(vec):
-    ctx = keyswitch_tpu.KeySwitchTpuContext(
+@pytest.fixture(scope="module")
+def ctx(vec):
+    """ONE shared interpret-mode context for every test that exercises the
+    standard 1024_2_3_3_2 config with caller twiddles: interpret-mode
+    dispatches dominate the fast tier's wall clock on 1-core boxes, and a
+    shared context reuses every traced program across tests."""
+    return keyswitch_tpu.get_context(
         1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
         tile_p=2, interpret=True,
     )
+
+
+def test_keyswitch_tpu_with_caller_twiddles(vec, ctx):
     got = ctx.run(
         vec.input, vec.t_target_iter_ptr, vec.key_vectors, vec.modswitch_factors
     )
@@ -104,14 +112,10 @@ def test_keyswitch_fused_mac_engine(vec):
     np.testing.assert_array_equal(got, vec.expected_output)
 
 
-def test_device_resident_handle_chain(vec):
+def test_device_resident_handle_chain(vec, ctx):
     """stage_ciphertext/stage_target + run_device: the chained-handle path
     must match run() exactly, including a 2-deep chain with no host
     round trip between ops."""
-    ctx = keyswitch_tpu.KeySwitchTpuContext(
-        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
-        tile_p=2, interpret=True,
-    )
     h_ct = ctx.stage_ciphertext(vec.input[None])
     h_t = ctx.stage_target(vec.t_target_iter_ptr[None])
     out1 = ctx.run_device(h_ct, h_t, vec.key_vectors, vec.modswitch_factors)
@@ -127,41 +131,32 @@ def test_device_resident_handle_chain(vec):
     np.testing.assert_array_equal(out3.to_host()[0], vec.expected_output)
 
 
-def test_interleaved_dispatch_fast_path(vec):
+def test_interleaved_dispatch_fast_path(vec, ctx):
     """dispatch_batch32 (zero-copy staging + on-device u64 split) must be
     bit-identical to the pair-plane dispatch_batch."""
     from hexl_fpga_tpu.ops import word64 as w
 
-    ctx = keyswitch_tpu.KeySwitchTpuContext(
-        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
-        tile_p=2, interpret=True,
-    )
-    rs = np.stack([vec.input] * 2)
-    ts = np.stack([vec.t_target_iter_ptr] * 2)
+    rs = vec.input[None]
+    ts = vec.t_target_iter_ptr[None]
     out32 = ctx.dispatch_batch32(rs, ts, vec.key_vectors,
                                  vec.modswitch_factors)
-    got = w.from_interleaved_np(np.asarray(out32)).reshape(2, -1)
+    got = w.from_interleaved_np(np.asarray(out32)).reshape(1, -1)
     olo, ohi = ctx.dispatch_batch(rs, ts, vec.key_vectors,
                                   vec.modswitch_factors)
-    want = w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(2, -1)
+    want = w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(1, -1)
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(got[0], vec.expected_output.ravel())
 
 
-def test_wire_packed_dispatch_matches(vec, monkeypatch):
-    """The 52-bit wire-packed transport must be bit-identical end to end."""
+def test_wire_packed_dispatch_matches(vec, ctx, monkeypatch):
+    """The 52-bit wire-packed transport must be bit-identical end to end
+    (the frozen expected_output IS the oracle, so one packed dispatch
+    proves it; pack/unpack roundtrips are covered by test_wirepack.py)."""
     monkeypatch.setenv("HEXL_TPU_WIRE_PACK", "1")
-    ctx = keyswitch_tpu.KeySwitchTpuContext(
-        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
-        tile_p=2, interpret=True,
-    )
-    rs = np.stack([vec.input] * 2)
-    ts = np.stack([vec.t_target_iter_ptr] * 2)
+    rs = vec.input[None]
+    ts = vec.t_target_iter_ptr[None]
     got = ctx.run_batch(rs, ts, vec.key_vectors, vec.modswitch_factors)
     np.testing.assert_array_equal(got[0], vec.expected_output.ravel())
-    monkeypatch.delenv("HEXL_TPU_WIRE_PACK")
-    same = ctx.run_batch(rs, ts, vec.key_vectors, vec.modswitch_factors)
-    np.testing.assert_array_equal(got, same)
 
 
 def test_key_cache_full_checksum_catches_any_mutation(vec, monkeypatch):
@@ -184,33 +179,25 @@ def test_key_cache_full_checksum_catches_any_mutation(vec, monkeypatch):
     assert h1[0] is not h2[0], "full checksum must force a re-upload"
 
 
-def test_run_device_chain_matches_sequential(vec):
+def test_run_device_chain_matches_sequential(vec, ctx):
     """The compiled fixed-key chain must equal depth sequential run_device
     calls bit-for-bit."""
-    ctx = keyswitch_tpu.KeySwitchTpuContext(
-        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
-        tile_p=2, interpret=True,
-    )
     h_t = ctx.stage_target(vec.t_target_iter_ptr[None])
     cur = ctx.stage_ciphertext(vec.input[None])
-    for _ in range(3):
+    for _ in range(2):
         cur = ctx.run_device(cur, h_t, vec.key_vectors,
                              vec.modswitch_factors)
     chained = ctx.run_device_chain(
         vec.input[None], vec.t_target_iter_ptr[None], vec.key_vectors,
-        vec.modswitch_factors, depth=3,
+        vec.modswitch_factors, depth=2,
     )
     np.testing.assert_array_equal(chained.to_host(), cur.to_host())
 
 
-def test_run_device_chain_keyed_matches_sequential(vec):
+def test_run_device_chain_keyed_matches_sequential(vec, ctx):
     """The compiled PER-STEP-KEY chain (stacked key tensors indexed by a
     traced step) must equal the same schedule run as sequential run_device
     calls bit-for-bit."""
-    ctx = keyswitch_tpu.KeySwitchTpuContext(
-        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
-        tile_p=2, interpret=True,
-    )
     # a second key set over the SAME moduli: roll each (comp, K, n) plane
     # along n (values stay canonical per modulus plane)
     keys2 = [
@@ -219,7 +206,7 @@ def test_run_device_chain_keyed_matches_sequential(vec):
         for kv in vec.key_vectors
     ]
     key_sets = [vec.key_vectors, keys2]
-    schedule = [0, 1, 0]
+    schedule = [1, 0]
     h_t = ctx.stage_target(vec.t_target_iter_ptr[None])
     cur = ctx.stage_ciphertext(vec.input[None])
     for s in schedule:
@@ -231,14 +218,10 @@ def test_run_device_chain_keyed_matches_sequential(vec):
     np.testing.assert_array_equal(chained.to_host(), cur.to_host())
 
 
-def test_hoisted_keyswitch_matches_run_batch(vec):
+def test_hoisted_keyswitch_matches_run_batch(vec, ctx):
     """run_hoisted(perm=None) must be BIT-IDENTICAL to run_batch: every MAC
     input carries the same residue (D[j] row j is a lazy representative of
     the target itself) and the tails canonicalize."""
-    ctx = keyswitch_tpu.KeySwitchTpuContext(
-        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
-        tile_p=2, interpret=True,
-    )
     dec = ctx.hoist(np.asarray(vec.t_target_iter_ptr, np.uint64)[None])
     out = ctx.run_hoisted(
         dec, np.asarray(vec.input, np.uint64)[None], vec.key_vectors,
@@ -253,7 +236,7 @@ def test_hoisted_keyswitch_matches_run_batch(vec):
     np.testing.assert_array_equal(out2.to_host()[0], vec.expected_output)
 
 
-def test_hoisted_keyswitch_deferred_perm_identity(vec):
+def test_hoisted_keyswitch_deferred_perm_identity(vec, ctx):
     """run_hoisted(perm=sigma) uses the deferred-automorphism scheme: keys
     staged pre-permuted by sigma^{-1}, the apply gather-free, one output
     gather.  Its output must therefore be BIT-IDENTICAL to
@@ -266,10 +249,6 @@ def test_hoisted_keyswitch_deferred_perm_identity(vec):
     from hexl_fpga_tpu.integrations.ckks import _ntt_galois_sigma
 
     n, L, comp, K = 1024, 2, 2, 3
-    ctx = keyswitch_tpu.KeySwitchTpuContext(
-        n, L, K, L + 1, comp, vec.moduli, vec.twiddle_factors,
-        tile_p=2, interpret=True,
-    )
     sigma = _ntt_galois_sigma(n, 5).astype(np.int32)
     inv = np.empty_like(sigma)
     inv[sigma] = np.arange(n, dtype=np.int32)

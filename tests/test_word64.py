@@ -169,3 +169,18 @@ def test_mulhi64_approx_error_bound():
     want = [(int(x) * int(y)) >> 64 for x, y in zip(a, b)]
     diff = [int(wv) - int(gv) for wv, gv in zip(want, got)]
     assert all(0 <= d <= 2 for d in diff), max(diff)
+
+
+def test_precon64_np_exact_vs_bigint():
+    """Vectorized base-2^8 long division == Python bigint floor(k<<64/q)
+    across modulus sizes and edge values."""
+    rng = np.random.default_rng(5)
+    for bits in (17, 40, 45, 52, 54):
+        q = int(nt.generate_primes(1, bits, 1024)[0])
+        ks = np.concatenate([
+            np.array([0, 1, q - 1], dtype=np.uint64),
+            rng.integers(0, q, size=200, dtype=np.uint64),
+        ])
+        got = w.precon64_np(ks, q)
+        want = np.array([(int(k) << 64) // q for k in ks], dtype=np.uint64)
+        np.testing.assert_array_equal(got, want)
