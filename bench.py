@@ -50,8 +50,11 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 
+_T0 = time.time()
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.time() - _T0:7.1f}s]", *a, file=sys.stderr, flush=True)
 
 
 def _median(xs):

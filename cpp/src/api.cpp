@@ -109,11 +109,11 @@ void KeySwitch(uint64_t* result, const uint64_t* t_target_iter_ptr, uint64_t n,
   // exceed decomp_modulus_size or the engine loop would read out of bounds.
   Check(key_modulus_size > decomp_modulus_size,
         "requires key_modulus_size > decomp_modulus_size");
+  // rns_modulus_size is fence-only in the reference (stored and compared at
+  // `host/src/fpga_int.cpp:443`; the device kernel launches receive
+  // n/decomp_modulus_size/modulus_meta only, `host/src/fpga.cpp:1296-1301`):
+  // accept any positive value, compute independently of it.
   Check(rns_modulus_size > 0, "requires rns_modulus_size > 0");
-  // rns sizes the engine set (`host/src/fpga.cpp:1049-1068`); this build
-  // supports the shipped configurations where rns = decomp + 1.
-  Check(rns_modulus_size == decomp_modulus_size + 1,
-        "requires rns_modulus_size = decomp_modulus_size + 1");
   Check(key_component_count == 2, "requires key_component_count = 2");
   Check(moduli != nullptr, "requires moduli != nullptr");
   // range-check every modulus the kernel touches, special prime included

@@ -108,15 +108,14 @@ def KeySwitch(
     )
     hexl_assert(decomp_modulus_size > 0, "requires decomp_modulus_size > 0")
     hexl_assert(key_modulus_size <= 7, "requires key_modulus_size <= 7")
+    # rns_modulus_size is validated (>0) but never used by the reference's
+    # computation — it is stored and compared in the batch fence only
+    # (`host/src/keyswitch.cpp:28`, `host/src/fpga_int.cpp:443`); the device
+    # kernel launches receive n / decomp_modulus_size / modulus_meta
+    # (`host/src/fpga.cpp:1296-1301,1560-1565`).  Same here: any positive
+    # value is accepted, participates in the dispatch fence, and does not
+    # affect the result.
     hexl_assert(rns_modulus_size > 0, "requires rns_modulus_size > 0")
-    # rns sizes the engine set in the reference (`host/src/fpga.cpp:1049-1068`);
-    # this build supports the shipped configurations where rns = decomp + 1
-    # (L decomp engines + the special engine) — reject anything else rather
-    # than silently dropping the parameter.
-    hexl_assert(
-        rns_modulus_size == decomp_modulus_size + 1,
-        "requires rns_modulus_size = decomp_modulus_size + 1",
-    )
     hexl_assert(
         key_modulus_size > decomp_modulus_size,
         "requires key_modulus_size > decomp_modulus_size",

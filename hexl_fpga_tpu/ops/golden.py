@@ -262,11 +262,14 @@ def keyswitch(
         stays exact mod t (Gentry-Halevi-Smart correction; requires
         gcd(qk, t) == 1 and key errors scaled by t).
     """
-    # rns sizes the engine set in the reference (`host/src/fpga.cpp:1049-1068`);
-    # this model implements the shipped rns == decomp + 1 configurations.
-    assert rns_modulus_size == decomp_modulus_size + 1, (
-        "rns_modulus_size must equal decomp_modulus_size + 1"
-    )
+    # rns_modulus_size is validated (>0) and stored by the reference but
+    # never reaches its computation: the host uses it only in the batch
+    # fence (`host/src/fpga_int.cpp:443`), and the device kernel launches
+    # pass n / decomp_modulus_size / modulus_meta only
+    # (`host/src/fpga.cpp:1296-1301,1560-1565`; no `rns` symbol exists
+    # under device/).  Match that: accept any positive value, compute
+    # independently of it.
+    assert rns_modulus_size > 0, "requires rns_modulus_size > 0"
     assert key_modulus_size > decomp_modulus_size
     moduli = [int(m) for m in moduli]
     qk = moduli[key_modulus_size - 1]

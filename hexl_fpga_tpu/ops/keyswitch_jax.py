@@ -75,13 +75,12 @@ class KeySwitchContext:
         plain_modulus: Optional[int] = None,
     ):
         assert key_component_count == 2, "key_component_count must be 2"
-        # rns threads through the reference's engine count
-        # (`host/src/fpga.cpp:1049-1068`); the shipped configurations all
-        # satisfy rns == decomp + 1 — enforce instead of silently ignoring.
-        assert rns_modulus_size == decomp_modulus_size + 1, (
-            "rns_modulus_size must equal decomp_modulus_size + 1 "
-            f"(got rns={rns_modulus_size}, decomp={decomp_modulus_size})"
-        )
+        # rns_modulus_size is fence-only in the reference (stored, compared
+        # at `host/src/fpga_int.cpp:443`, never passed to a device kernel —
+        # `host/src/fpga.cpp:1296-1301,1560-1565`): accept any positive
+        # value and compute independently of it, exactly as the reference
+        # does.
+        assert rns_modulus_size > 0, "requires rns_modulus_size > 0"
         self.n = n
         self.L = decomp_modulus_size
         self.K = key_modulus_size

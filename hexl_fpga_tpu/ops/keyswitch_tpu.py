@@ -77,16 +77,17 @@ class KeySwitchTpuContext:
         fused_mac: bool = False,
         fused_tail: bool = True,
         plain_modulus: Optional[int] = None,
+        mac_impl: str = "deferred",
     ):
         assert key_component_count == 2, "key_component_count must be 2"
-        # The engine count threads through rns_modulus_size in the reference
-        # (`host/src/fpga.cpp:1049-1068`); this implementation supports the
-        # shipped configurations, where rns == decomp + 1 (L decomp engines
-        # plus the special-modulus engine) — enforce rather than ignore it.
-        assert rns_modulus_size == decomp_modulus_size + 1, (
-            "rns_modulus_size must equal decomp_modulus_size + 1 "
-            f"(got rns={rns_modulus_size}, decomp={decomp_modulus_size})"
-        )
+        # rns_modulus_size never reaches the reference's computation: it is
+        # fence-only metadata (`host/src/fpga_int.cpp:443`); the device
+        # kernel launches receive n / decomp_modulus_size / modulus_meta
+        # only (`host/src/fpga.cpp:1296-1301,1560-1565`).  Match that:
+        # accept any positive value (it stays in the context cache key so
+        # config changes fence exactly as the reference does) and compute
+        # from (n, decomp, key_modulus, comp) alone.
+        assert rns_modulus_size > 0, "requires rns_modulus_size > 0"
         self.n = n
         self.L = decomp_modulus_size
         self.K = key_modulus_size
@@ -94,6 +95,16 @@ class KeySwitchTpuContext:
         self.moduli = tuple(int(m) for m in moduli)
         self.tile_p = tile_p
         self.interpret = interpret
+        # MAC schedule: "deferred" (approx-quotient Harvey, deferred Q*q —
+        # the production schedule) or "exact128" (quotient-free 128-bit
+        # accumulation, no precon reads — the algorithm-shape probe)
+        assert mac_impl in ("deferred", "exact128"), mac_impl
+        self.mac_impl = mac_impl
+        if mac_impl == "exact128":
+            # instance attributes shadow the class staticmethods; every MAC
+            # consumer (_build, _apply_hoisted) dispatches through self
+            self._mac_term = KeySwitchTpuContext._mac_term128
+            self._mac_close = KeySwitchTpuContext._mac_close128
         assert self.K - 1 >= self.L, "special modulus must not be a decomp modulus"
         # 2n-th roots: derived from the caller's tables when provided
         # (fwd[bit_reverse(1)] = psi), else the canonical minimal root
@@ -232,6 +243,42 @@ class KeySwitchTpuContext:
     def _mac_close(acc, q):
         """(sum wx mod 2^64, sum Q) -> the lazy u64 sum < 28q."""
         return w.sub64(acc[0], w.mullo64(acc[1], q))
+
+    @staticmethod
+    def _mac_term128(acc, val, key, kp):
+        """QUOTIENT-FREE MAC term (mac_impl="exact128"): accumulate the full
+        128-bit product key*val into a 4-limb u32 accumulator — no Harvey
+        quotient per term and the precon tables are never read (halving the
+        MAC's key-side HBM traffic).  Exact: key < q < 2^52, val any u64
+        representative, so each product < 2^116 and a <= 7-term sum < 2^119
+        fits 128 bits.  The reference's per-term Harvey/Barrett schedule is
+        `device/keyswitch/dyadmult.hpp:116-160`; this trades its per-term
+        quotient math for one wide reduction per engine-component
+        (_mac_close128); measured A/B against the deferred schedule in
+        scripts/probe_r4_mac.py (results in doc/roofline.md)."""
+        del kp  # quotient-free: preconditioners unused
+        p = w.mul64_full(key, val)
+        if acc is None:
+            return p
+        return w.add128(acc, p)
+
+    @staticmethod
+    def _mac_close128(acc, q):
+        """4-limb accumulator (< 2^119) -> lazy u64 representative < 4q.
+
+        V = A + 2^64*B with A = limbs[0:2] (any u64), B = limbs[2:4]
+        (< 2^55).  B reduces exactly (Barrett, B < 2^63); A folds to a
+        representative < 3q with one floor(2^64/q) quotient (valid for ANY
+        u64 A: the quotient underestimates by < 2, each unit costing +q)."""
+        q = int(q)
+        barr = (1 << 64) // q
+        A = (acc[0], acc[1])
+        B = (acc[2], acc[3])
+        b = w.barrett_reduce64(B, q, barr)
+        t = w.mul_mod_static(b, (1 << 64) % q, q)
+        QA = w.mulhi64(A, barr)
+        repA = w.sub64(A, w.mullo64(QA, q))
+        return w.add64(repA, t)
 
     def _sigma(self, e):
         """BGV correction digit per coefficient: sigma = [(qk/2 - e) *
@@ -972,13 +1019,13 @@ class DeviceTarget:
 
 @functools.lru_cache(maxsize=16)
 def _context_cached(n, L, K, rns, comp, moduli, tw_key, tile_p, interpret,
-                    plain_modulus=None):
+                    plain_modulus=None, mac_impl="deferred"):
     # strict lookup: a stash entry evicted between insertion and this call
     # must raise, not silently build the context with default twiddles
     tw = _TWIDDLE_STASH[tw_key] if tw_key is not None else None
     return KeySwitchTpuContext(
         n, L, K, rns, comp, list(moduli), tw, tile_p, interpret,
-        plain_modulus=plain_modulus,
+        plain_modulus=plain_modulus, mac_impl=mac_impl,
     )
 
 
@@ -994,6 +1041,7 @@ def get_context(
     n, decomp_modulus_size, key_modulus_size, rns_modulus_size,
     key_component_count, moduli, twiddle_factors=None, tile_p: int = 4,
     interpret: bool = False, plain_modulus: int | None = None,
+    mac_impl: str = "deferred",
 ) -> KeySwitchTpuContext:
     if twiddle_factors is not None:
         import hashlib
@@ -1011,4 +1059,5 @@ def get_context(
         key_component_count, tuple(int(m) for m in moduli), tw_key, tile_p,
         interpret,
         None if plain_modulus is None else int(plain_modulus),
+        mac_impl,
     )

@@ -234,6 +234,18 @@ def mulhi64(a, b) -> U64Pair:
     return r2, r3
 
 
+def add128(a, b):
+    """Exact 128-bit add of two 4-limb u32 values (carries out of the top
+    limb are lost — callers must bound the true sum below 2^128)."""
+    s0, c0 = _addc(a[0], b[0])
+    s1, c1 = _addc(a[1], b[1])
+    s1, c1b = _addc(s1, c0)
+    s2, c2 = _addc(a[2], b[2])
+    s2, c2b = _addc(s2, c1 + c1b)
+    s3 = a[3] + b[3] + c2 + c2b
+    return s0, s1, s2, s3
+
+
 def mulhi64_approx(a, b) -> U64Pair:
     """High 64 bits of a*b UNDERestimating by at most 2.
 

@@ -136,15 +136,25 @@ def test_keyswitch_json_roundtrip(tmp_path):
     np.testing.assert_array_equal(got, back.expected_output)
 
 
-def test_keyswitch_rejects_bad_rns():
-    """rns != decomp+1 must be rejected, not silently ignored
-    (`host/src/fpga.cpp:1049-1068` threads rns through the engine count)."""
+def test_keyswitch_rns_is_fence_only():
+    """rns_modulus_size never reaches the reference's computation — it is
+    stored and compared in the batch fence only (`host/src/fpga_int.cpp:443`;
+    the kernel launches pass n/decomp/modulus_meta,
+    `host/src/fpga.cpp:1296-1301,1560-1565`).  Any positive value must give
+    the same bits; zero is rejected (`host/src/keyswitch.cpp:28`)."""
     n, L, K = 32, 2, 3
     vec = vectors.make_keyswitch_vector(n, L, K, seed=13)
+    for rns in (1, L, L + 1, L + 2, 17):
+        got = golden.keyswitch(
+            vec.input.copy(),
+            vec.t_target_iter_ptr, n, L, K, rns, 2,
+            vec.moduli, vec.key_vectors, vec.modswitch_factors, None,
+        )
+        np.testing.assert_array_equal(got, vec.expected_output)
     with pytest.raises(AssertionError):
         golden.keyswitch(
-            np.zeros(2 * L * n, dtype=np.uint64),
-            vec.t_target_iter_ptr, n, L, K, L + 2, 2,
+            vec.input.copy(),
+            vec.t_target_iter_ptr, n, L, K, 0, 2,
             vec.moduli, vec.key_vectors, vec.modswitch_factors, None,
         )
 

@@ -92,11 +92,37 @@ def test_device_key_cache_detects_mutation(vec):
     )
 
 
-def test_rns_must_be_decomp_plus_one(vec):
+def test_rns_is_fence_only(vec, ctx):
+    """rns_modulus_size is fence-only metadata in the reference (stored and
+    compared at `host/src/fpga_int.cpp:443`, never passed to a device
+    kernel): any positive value must produce the same bits; zero is
+    rejected (`host/src/keyswitch.cpp:28`).  rns=4 reuses the shared ctx's
+    traced kernels (same moduli/twiddles), so this stays cheap."""
+    ctx4 = keyswitch_tpu.get_context(
+        1024, 2, 3, 4, 2, vec.moduli, vec.twiddle_factors,
+        tile_p=2, interpret=True,
+    )
+    got = ctx4.run(
+        vec.input, vec.t_target_iter_ptr, vec.key_vectors, vec.modswitch_factors
+    )
+    np.testing.assert_array_equal(got, vec.expected_output)
     with pytest.raises(AssertionError):
         keyswitch_tpu.KeySwitchTpuContext(
-            1024, 2, 3, 4, 2, vec.moduli, None, tile_p=2, interpret=True,
+            1024, 2, 3, 0, 2, vec.moduli, None, tile_p=2, interpret=True,
         )
+
+
+def test_keyswitch_mac_exact128(vec):
+    """Quotient-free 128-bit-accumulation MAC (mac_impl="exact128"):
+    bit-exact with the deferred-quotient production schedule."""
+    ctx = keyswitch_tpu.KeySwitchTpuContext(
+        1024, 2, 3, 3, 2, vec.moduli, vec.twiddle_factors,
+        tile_p=2, interpret=True, mac_impl="exact128",
+    )
+    got = ctx.run(
+        vec.input, vec.t_target_iter_ptr, vec.key_vectors, vec.modswitch_factors
+    )
+    np.testing.assert_array_equal(got, vec.expected_output)
 
 
 def test_keyswitch_fused_mac_engine(vec):

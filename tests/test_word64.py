@@ -60,6 +60,31 @@ def test_mul64(rng):
     assert full == [x * y for x, y in zip(xs, ys)]
 
 
+def test_add128(rng):
+    """4-limb 128-bit add vs bigints, including carry cascades from
+    all-ones limbs (sum kept < 2^128 as the exact128 MAC guarantees)."""
+    xs = [rng.randrange(1 << 127) for _ in range(509)] + [
+        (1 << 127) - 1, (1 << 96) - 1, (1 << 64) - 1
+    ]
+    ys = [rng.randrange((1 << 127) - x) for x in xs]
+
+    def limbs(vals):
+        return tuple(
+            jnp.asarray(
+                np.array([(v >> (32 * i)) & 0xFFFFFFFF for v in vals],
+                         dtype=np.uint32)
+            )
+            for i in range(4)
+        )
+
+    s = w.add128(limbs(xs), limbs(ys))
+    got = [
+        int(a) | (int(b) << 32) | (int(c) << 64) | (int(d) << 96)
+        for a, b, c, d in zip(*(np.asarray(x) for x in s))
+    ]
+    assert got == [x + y for x, y in zip(xs, ys)]
+
+
 @pytest.mark.parametrize("bits", [17, 28, 33, 45, 52])
 def test_mul_mod_static(rng, bits):
     q = nt.generate_primes(1, bits, 16)[0]
