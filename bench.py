@@ -245,12 +245,17 @@ def bench_keyswitch(extras):
     )
 
     # --- chained device-resident handles (one host fetch per chain) ------
-    # depth 64 ~ a bootstrapping-scale rotation chain with PER-STEP keys
+    # depth 256 ~ a bootstrapping-scale rotation chain with PER-STEP keys
     # (the real rotation pattern): S distinct key sets ride the pinned
     # cache as stacked tensors, the whole chain compiles to ONE program
     # with the step's key selected by a traced index
-    # (run_device_chain_keyed), and the host fetches once at the end.
-    depth = int(os.environ.get("BENCH_CHAIN_DEPTH", 64))
+    # (run_device_chain_keyed), and the host fetches once at the end.  The
+    # chain metric INCLUDES that one fetch: on this tunnel (~30-50 MB/s
+    # D2H) the 50 MB batch-32 fetch costs ~3 chain-steps' worth of seconds,
+    # so shallow chains are fetch-bound — depth 256 is where the compiled
+    # chain rate dominates, matching real rotation-chain workloads
+    # (bootstrapping runs hundreds of keyswitches per fetch).
+    depth = int(os.environ.get("BENCH_CHAIN_DEPTH", 256))
     S = 4
     key_sets = [vec.key_vectors] + [
         [
@@ -336,18 +341,23 @@ def bench_keyswitch(extras):
             # permutes only its output planes
             kstack = ctx.hoisted_key_stack(vec.key_vectors, list(sigmas))
 
-            def hstep(i, rlo, rhi):
+            # the decomposition/key-stack/table arrays MUST ride the loop
+            # carry, not the closure: closed-over device arrays embed as
+            # HLO constants and the ~350 MB program blows the tunnel's
+            # remote-compile request limit (HTTP 413).  They pass through
+            # unchanged (XLA aliases the buffers); only i/rlo/rhi vary.
+            def hstep(i, rlo, rhi, dl, dh, ka, kb, kc, kd, pt, m4):
                 s = jnp.remainder(i, S)
                 olo, ohi = ctx._apply_hoisted(
-                    dec.dlo, dec.dhi, rlo, rhi,
-                    kstack[0][s], kstack[1][s], kstack[2][s], kstack[3][s],
-                    msf4, perm=perm_tab[s],
+                    dl, dh, rlo, rhi, ka[s], kb[s], kc[s], kd[s],
+                    m4, perm=pt[s],
                 )
-                return i + 1, olo, ohi
+                return (i + 1, olo, ohi, dl, dh, ka, kb, kc, kd, pt, m4)
 
             dt_h = chain_timer(
                 hstep,
-                (jnp.int32(0), jnp.asarray(r[0]), jnp.asarray(r[1])),
+                (jnp.int32(0), jnp.asarray(r[0]), jnp.asarray(r[1]),
+                 dec.dlo, dec.dhi, *kstack, perm_tab, msf4),
                 i1=2, i2=8,
             )
             extras["keyswitch_hoisted_device_op_per_s"] = round(B / dt_h, 1)
@@ -431,8 +441,11 @@ def bench_dyadic_sweep(extras):
     M = 14
     sweep = {}
     for n in (1024, 4096, 16384, 32768):
-        # keep per-op element count comparable: larger batch at small n
-        B = max(2, (16384 // n) * 8)
+        # keep per-CHAIN-ITERATION work comparable (and well above tunnel
+        # timing noise: a B=2 iteration at n=32768 is ~1.7 ms, and a 16-
+        # iteration slope difference drowns in the ±10 ms tunnel jitter —
+        # it once measured an impossible 943 GB/s effective)
+        B = max(8, 8 * 16384 // n)
         moduli = nt.generate_primes(M, 51, n)
         rng = np.random.default_rng(n)
         op1 = rng.integers(0, 2**52, size=(B, 2, M, n), dtype=np.uint64)

@@ -221,6 +221,38 @@ class BfvContext(ckks.CkksContext):
             d[c] = self._to_ntt_limbs(scaled, nl)
         return d, 1.0
 
+    def _behz(self, nl: int):
+        """Per-level BEHZ RNS tool (ops/rns_behz.py), cached."""
+        if not hasattr(self, "_behz_tools"):
+            self._behz_tools = {}
+        if nl not in self._behz_tools:
+            from ..ops import rns_behz
+
+            bits = max(int(q).bit_length() for q in self.moduli[:nl])
+            self._behz_tools[nl] = rns_behz.BehzTool(
+                self.n, self.moduli[:nl], self.t, aux_bits=min(51, bits)
+            )
+        return self._behz_tools[nl]
+
+    def multiply_rns(self, ct1: Ciphertext, ct2: Ciphertext):
+        """Full-RNS BFV multiply (BEHZ, `ops/rns_behz.py`): limb-wise base
+        extension + NTT-domain tensor + fast floor + Shenoy back-conversion.
+        No big-int convolution anywhere — every step is residue-vectorized
+        (the device-shaped formulation; the textbook `multiply` remains the
+        exactness oracle).  Result differs from `multiply` only by the
+        bounded BEHZ correction terms, which land in the noise: decryption
+        agrees whenever the budget is positive (tests/test_rns_behz.py).
+        Beyond reference capability: SEAL computes this on the CPU even
+        with the FPGA attached."""
+        assert ct1.level == ct2.level
+        nl = ct1.level + 1
+        d = self._behz(nl).multiply(
+            np.asarray(ct1.data[:, :nl], dtype=np.uint64),
+            np.asarray(ct2.data[:, :nl], dtype=np.uint64),
+            self.tabs[:nl],
+        )
+        return d, 1.0
+
     def rescale(self, ct: Ciphertext) -> Ciphertext:
         raise TypeError(
             "rescale is a CKKS operation; BFV noise management is "

@@ -81,8 +81,15 @@ def barrett_reduce64(x: np.ndarray, q: int, q_barr: int | None = None) -> np.nda
 def mul_mod(x: np.ndarray, y, q: int) -> np.ndarray:
     """(x * y) mod q exactly for x, y < q < 2^62 (lazy multiply + reduce)."""
     y = _u64(y)
-    y_precon = _u64(
-        np.array([nt.barrett_factor(int(v) % q, 64, q) for v in np.atleast_1d(y)])
+    # dtype MUST be forced: numpy 2 promotes a python-int list holding any
+    # value >= 2^63 (every precon of y >= q/2) to float64, silently rounding
+    # the precon to 53 bits — the Harvey quotient then lands off by one for
+    # unlucky operands and the result is wrong by +-q, past the single
+    # conditional subtract (caught by the BEHZ property tests, which drive
+    # mul_mod with arbitrary array multiplicands)
+    y_precon = np.array(
+        [nt.barrett_factor(int(v) % q, 64, q) for v in np.atleast_1d(y)],
+        dtype=np.uint64,
     ).reshape(np.shape(y))
     r = mul_mod_lazy64(x, y, y_precon, q)
     return np.where(r >= np.uint64(q), r - np.uint64(q), r)

@@ -1,0 +1,164 @@
+"""Regenerate the README + doc/roofline.md headline performance tables from
+a driver bench capture (the JSON line bench.py prints), so the three sets of
+numbers — README, roofline, BENCH_rNN.json — are one set (VERDICT r3
+'what's weak' #7: headline tables must come from the current driver capture,
+not remembered best runs).
+
+Usage: python scripts/regen_perf_tables.py <bench.json> <round-label>
+
+Rewrites the blocks between `<!-- BENCH-TABLE (regen_perf_tables.py) -->`
+and `<!-- /BENCH-TABLE -->` markers in README.md and doc/roofline.md.
+"""
+
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+START = "<!-- BENCH-TABLE (scripts/regen_perf_tables.py) -->"
+END = "<!-- /BENCH-TABLE -->"
+
+
+def _fmt_k(v):
+    return f"{v/1e3:.0f}K" if v >= 10e3 else f"{v:,.0f}"
+
+
+def readme_block(cap, label):
+    x = cap["extras"]
+    ntt = cap["value"]
+    rows = [
+        "| metric | this library (driver median, {}) | reference design "
+        "ceiling |".format(label),
+        "|---|---|---|",
+        f"| fwd NTT, N=16384 (51-bit prime) | {_fmt_k(ntt)} NTT/s "
+        f"(spread {x.get('fwd_ntt_spread_pct', 0):.0f}%) | 36K NTT/s per "
+        "compute unit (VEC=8 @ 400 MHz) |",
+    ]
+    if "inv_ntt_16384_throughput" in x:
+        rows.append(
+            f"| inv NTT, N=16384 | "
+            f"{_fmt_k(x['inv_ntt_16384_throughput'])} INTT/s | — |"
+        )
+    ks = x.get("keyswitch_16384_6_7_7_2_device_op_per_s")
+    if ks:
+        rows.append(
+            f"| KeySwitch 16384_6_7_7_2 (device-resident, batch 32) | "
+            f"{_fmt_k(ks)} op/s (residue analysis: doc/roofline.md) | "
+            "not published |"
+        )
+    ch = x.get("keyswitch_16384_6_7_7_2_chained_op_per_s")
+    if ch:
+        rows.append(
+            f"| KeySwitch compiled rotation chain (depth 256, per-step "
+            f"keys, one fetch) | {_fmt_k(ch)} op/s | not published |"
+        )
+    ho = x.get("keyswitch_hoisted_device_op_per_s")
+    if ho:
+        rows.append(
+            f"| Hoisted keyswitch apply (decompose once, apply many) | "
+            f"{_fmt_k(ho)} op/s "
+            f"({x.get('keyswitch_hoisted_speedup_x', 0):.2f}x the full op) "
+            "| no hoisting concept |"
+        )
+    dy = x.get("dyadic_16384x14_op_per_s")
+    if dy:
+        rows.append(
+            f"| DyadicMultiply N=16384, 14 moduli (fused Pallas + "
+            f"approx-mulhi) | {_fmt_k(dy)} op/s "
+            f"({x.get('dyadic_effective_gb_per_s', 0):.0f} GB/s effective; "
+            "compute-bound) | not published |"
+        )
+    return "\n".join(rows)
+
+
+def roofline_block(cap, label):
+    x = cap["extras"]
+    rows = [
+        "| kernel | driver median | spread | vs reference CU ceiling |",
+        "|---|---|---|---|",
+        f"| fwd NTT (fused MXU four-step, batches 1024/2048/4096) | "
+        f"**{cap['value']:,.0f} NTT/s** | "
+        f"{x.get('fwd_ntt_spread_pct', 0):.0f}% | "
+        f"{cap['vs_baseline']:.1f}x |",
+    ]
+    if "inv_ntt_16384_throughput" in x:
+        rows.append(
+            f"| inv NTT (batch 2048) | "
+            f"**{x['inv_ntt_16384_throughput']:,.0f} INTT/s** | — | "
+            f"{x['inv_ntt_16384_throughput']/3.6e4:.1f}x |"
+        )
+    ks = x.get("keyswitch_16384_6_7_7_2_device_op_per_s")
+    if ks:
+        rows.append(
+            f"| KeySwitch 16384_6_7_7_2, batch 32, device-resident chain | "
+            f"**{ks:,.0f} op/s** ({32e3/ks:.2f} ms/batch-32, hoist-proof) | "
+            "— | — |"
+        )
+    ch = x.get("keyswitch_16384_6_7_7_2_chained_op_per_s")
+    if ch:
+        rows.append(
+            f"| KeySwitch keyed rotation chain (depth 256, ONE compiled "
+            f"program, one fetch) | **{ch:,.0f} op/s** | — | — |"
+        )
+    ho = x.get("keyswitch_hoisted_device_op_per_s")
+    if ho:
+        rows.append(
+            f"| Hoisted apply (Halevi-Shoup; deferred automorphism) | "
+            f"**{ho:,.0f} op/s** = "
+            f"{x.get('keyswitch_hoisted_speedup_x', 0):.2f}x the full op | "
+            "— | — |"
+        )
+    e2e = x.get("keyswitch_16384_6_7_7_2_e2e_op_per_s")
+    if e2e:
+        rows.append(
+            f"| KeySwitch e2e through the public API | {e2e:.1f} op/s — "
+            f"**wire-bound** (tunnel D2H measured "
+            f"{x.get('tunnel_d2h_mb_s', 0):.0f} MB/s that run) | — | — |"
+        )
+    dy = x.get("dyadic_16384x14_op_per_s")
+    if dy:
+        rows.append(
+            f"| DyadicMultiply N=16384 x 14 moduli (fused Pallas) | "
+            f"**{dy:,.0f} op/s = "
+            f"{x.get('dyadic_effective_gb_per_s', 0):.0f} GB/s effective** | "
+            f"{x.get('dyadic_spread_pct', 0):.0f}% | — |"
+        )
+    sweep = x.get("dyadic_sweep")
+    if sweep:
+        pairs = ", ".join(
+            f"n={k}: {v:,.0f}" for k, v in sorted(
+                sweep.items(), key=lambda kv: int(kv[0])
+            )
+        )
+        rows.append(f"| DyadicMultiply N-sweep (op/s) | {pairs} | — | — |")
+    rows.append("")
+    rows.append(f"Capture: {label} (`bench.py`, one tunneled v5e chip; "
+                "same JSON the driver records).")
+    return "\n".join(rows)
+
+
+def splice(path, block):
+    with open(path) as f:
+        text = f.read()
+    pat = re.compile(
+        re.escape(START) + r".*?" + re.escape(END), flags=re.DOTALL
+    )
+    assert pat.search(text), f"markers not found in {path}"
+    text = pat.sub(START + "\n" + block + "\n" + END, text)
+    with open(path, "w") as f:
+        f.write(text)
+    print(f"updated {path}")
+
+
+def main():
+    cap_path, label = sys.argv[1], sys.argv[2]
+    with open(cap_path) as f:
+        cap = json.loads(f.read().strip().splitlines()[-1])
+    splice(os.path.join(ROOT, "README.md"), readme_block(cap, label))
+    splice(os.path.join(ROOT, "doc", "roofline.md"), roofline_block(cap, label))
+
+
+if __name__ == "__main__":
+    main()
