@@ -332,32 +332,40 @@ def bench_keyswitch(extras):
             )
             log("[keyswitch] hoisted bit-exact vs frozen vector: OK")
             S = 8
+            gs = [pow(5, s + 1, 2 * n) for s in range(S)]
             sigmas = np.stack([
-                _ntt_galois_sigma(n, pow(5, s + 1, 2 * n)) for s in range(S)
+                _ntt_galois_sigma(n, g) for g in gs
             ]).astype(np.int32)
-            perm_tab = jnp.asarray(sigmas)
             # sigma^{-1}-permuted key stacks (staged once per sigma): the
-            # deferred-automorphism apply runs the MAC/tail gather-free and
-            # permutes only its output planes
+            # deferred-automorphism apply runs the MAC/tail gather-free
+            # and permutes only its output planes — as MXU matmuls
+            # (ops/galois_mxu.py), not the ~8.7 ms lane gather
             kstack = ctx.hoisted_key_stack(vec.key_vectors, list(sigmas))
+            gops = [ctx.galois_mxu_operands(g) for g in gs]
+            p1s = jnp.stack([o[0] for o in gops])
+            q1s = jnp.stack([o[1] for o in gops])
+            sS = jnp.stack([o[2] for o in gops])
+            p2, q2 = gops[0][3], gops[0][4]
 
             # the decomposition/key-stack/table arrays MUST ride the loop
             # carry, not the closure: closed-over device arrays embed as
             # HLO constants and the ~350 MB program blows the tunnel's
             # remote-compile request limit (HTTP 413).  They pass through
             # unchanged (XLA aliases the buffers); only i/rlo/rhi vary.
-            def hstep(i, rlo, rhi, dl, dh, ka, kb, kc, kd, pt, m4):
+            def hstep(i, rlo, rhi, dl, dh, ka, kb, kc, kd,
+                      P1, Q1, Sh, m4):
                 s = jnp.remainder(i, S)
                 olo, ohi = ctx._apply_hoisted(
                     dl, dh, rlo, rhi, ka[s], kb[s], kc[s], kd[s],
-                    m4, perm=pt[s],
+                    m4, galois_ops=(P1[s], Q1[s], Sh[s], p2, q2),
                 )
-                return (i + 1, olo, ohi, dl, dh, ka, kb, kc, kd, pt, m4)
+                return (i + 1, olo, ohi, dl, dh, ka, kb, kc, kd,
+                        P1, Q1, Sh, m4)
 
             dt_h = chain_timer(
                 hstep,
                 (jnp.int32(0), jnp.asarray(r[0]), jnp.asarray(r[1]),
-                 dec.dlo, dec.dhi, *kstack, perm_tab, msf4),
+                 dec.dlo, dec.dhi, *kstack, p1s, q1s, sS, msf4),
                 i1=2, i2=8,
             )
             extras["keyswitch_hoisted_device_op_per_s"] = round(B / dt_h, 1)

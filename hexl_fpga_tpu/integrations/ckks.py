@@ -469,35 +469,60 @@ class DeviceCkksEvaluator:
         )
         return Ciphertext(data=data, level=h.level, scale=h.scale)
 
-    def _rotation_fn(self, nl: int):
-        """One jit: NTT-domain gather + keyswitch-accumulate."""
+    def _rotation_fn(self, nl: int, mxu: bool):
+        """One jit: NTT-domain input automorphism + keyswitch-accumulate.
+        mxu=True applies the automorphism as MXU matmuls
+        (ops/galois_mxu.py — TPU lane gathers are slow); False is the
+        generic gather (odd-log2 n)."""
         import jax
         import jax.numpy as jnp
 
-        if nl not in self._rot_fn:
+        from ..ops import galois_mxu, word64 as w
+
+        key = (nl, mxu)
+        if key not in self._rot_fn:
             ks = self._ks_ctx(nl)
 
-            def fn(data32, idx32, klo, khi, plo, phi, msf4):
-                rot = data32[:, :, idx32]            # (2, nl, 2n)
-                t32 = rot[1][None]                   # (1, nl, 2n)
-                r32 = jnp.stack(
-                    [rot[0], jnp.zeros_like(rot[0])]
-                )[None]                              # (1, 2, nl, 2n)
-                return ks._build32(
-                    t32, r32, klo, khi, plo, phi, msf4
-                )[0]
+            if mxu:
+                def fn(data32, klo, khi, plo, phi, msf4, *g5):
+                    lo, hi = w.deinterleave_jnp(data32)   # (2, nl, n)
+                    rlo = galois_mxu.apply_galois_mxu(lo, *g5)
+                    rhi = galois_mxu.apply_galois_mxu(hi, *g5)
+                    olo, ohi = ks._build(
+                        rlo[1][None], rhi[1][None], klo, khi, plo, phi,
+                        jnp.stack([rlo[0], jnp.zeros_like(rlo[0])])[None],
+                        jnp.stack([rhi[0], jnp.zeros_like(rhi[0])])[None],
+                        msf4,
+                    )
+                    return w.interleave_jnp(olo, ohi)[0]  # (2, nl, 2n)
+            else:
+                def fn(data32, idx32, klo, khi, plo, phi, msf4):
+                    rot = data32[:, :, idx32]            # (2, nl, 2n)
+                    t32 = rot[1][None]                   # (1, nl, 2n)
+                    r32 = jnp.stack(
+                        [rot[0], jnp.zeros_like(rot[0])]
+                    )[None]                              # (1, 2, nl, 2n)
+                    return ks._build32(
+                        t32, r32, klo, khi, plo, phi, msf4
+                    )[0]
 
-            self._rot_fn[nl] = jax.jit(fn)
-        return self._rot_fn[nl]
+            self._rot_fn[key] = jax.jit(fn)
+        return self._rot_fn[key]
 
     def _apply_galois(self, h: DeviceCkksCiphertext, g: int):
         nl = h.level + 1
         ks = self._ks_ctx(nl)
         keys = ks.device_keys(self.ctx._galois_keys_for(g))
         msf4 = ks.prepare_msf4(self.ctx.modswitch_factors)
-        out32 = self._rotation_fn(nl)(
-            h.data32, self._sigma_interleaved(g), *keys, msf4
-        )
+        gops = ks.galois_mxu_operands(g)
+        if gops is not None:
+            out32 = self._rotation_fn(nl, True)(
+                h.data32, *keys, msf4, *gops
+            )
+        else:
+            out32 = self._rotation_fn(nl, False)(
+                h.data32, self._sigma_interleaved(g), *keys, msf4
+            )
         return DeviceCkksCiphertext(out32, h.level, h.scale)
 
     def rotate(self, h: DeviceCkksCiphertext, r: int) -> DeviceCkksCiphertext:
@@ -828,27 +853,47 @@ def _evaluator_apply_galois_hoisted(self, hh, g: int):
     # (keyswitch_tpu._apply_hoisted deferred-automorphism scheme)
     keys = ks.device_keys(self.ctx._galois_keys_for(g), hoist_perm=sigma_np)
     msf4 = ks.prepare_msf4(self.ctx.modswitch_factors)
+    # the deferred output automorphism prefers MXU matmuls over the lane
+    # gather (ops/galois_mxu.py; ~8.7 ms/batch-32 gather vs sub-ms matmuls
+    # at the flagship shape); gather remains the odd-log2-n fallback
+    gops = ks.galois_mxu_operands(g)
     if not hasattr(self, "_sigma_n"):
         self._sigma_n = {}
     if g not in self._sigma_n:
         self._sigma_n[g] = jnp.asarray(sigma_np)
-    key = ("hoisted_rot", nl)
+    key = ("hoisted_rot_mxu" if gops is not None else "hoisted_rot", nl)
     if key not in self._rot_fn:
-        def fn(dlo, dhi, data32, s_idx, klo, khi, plo, phi, m4):
-            lo, hi = w.deinterleave_jnp(data32)        # (2, nl, n)
-            # UNPERMUTED accumulation base: out = sigma(c0 + delta0, delta1)
-            res_lo = jnp.stack([lo[0], jnp.zeros_like(lo[0])])[None]
-            res_hi = jnp.stack([hi[0], jnp.zeros_like(hi[0])])[None]
-            olo, ohi = ks._apply_hoisted(
-                dlo, dhi, res_lo, res_hi, klo, khi, plo, phi, m4,
-                perm=s_idx,
-            )
-            return w.interleave_jnp(olo, ohi)[0]       # (2, nl, 2n)
+        if gops is not None:
+            def fn(dlo, dhi, data32, klo, khi, plo, phi, m4, *g5):
+                lo, hi = w.deinterleave_jnp(data32)    # (2, nl, n)
+                res_lo = jnp.stack([lo[0], jnp.zeros_like(lo[0])])[None]
+                res_hi = jnp.stack([hi[0], jnp.zeros_like(hi[0])])[None]
+                olo, ohi = ks._apply_hoisted(
+                    dlo, dhi, res_lo, res_hi, klo, khi, plo, phi, m4,
+                    galois_ops=g5,
+                )
+                return w.interleave_jnp(olo, ohi)[0]   # (2, nl, 2n)
+        else:
+            def fn(dlo, dhi, data32, s_idx, klo, khi, plo, phi, m4):
+                lo, hi = w.deinterleave_jnp(data32)    # (2, nl, n)
+                # UNPERMUTED accumulation base: out = sigma(c0 + deltas)
+                res_lo = jnp.stack([lo[0], jnp.zeros_like(lo[0])])[None]
+                res_hi = jnp.stack([hi[0], jnp.zeros_like(hi[0])])[None]
+                olo, ohi = ks._apply_hoisted(
+                    dlo, dhi, res_lo, res_hi, klo, khi, plo, phi, m4,
+                    perm=s_idx,
+                )
+                return w.interleave_jnp(olo, ohi)[0]   # (2, nl, 2n)
 
         self._rot_fn[key] = jax.jit(fn)
-    out32 = self._rot_fn[key](
-        hh.dlo, hh.dhi, hh.data32, self._sigma_n[g], *keys, msf4,
-    )
+    if gops is not None:
+        out32 = self._rot_fn[key](
+            hh.dlo, hh.dhi, hh.data32, *keys, msf4, *gops,
+        )
+    else:
+        out32 = self._rot_fn[key](
+            hh.dlo, hh.dhi, hh.data32, self._sigma_n[g], *keys, msf4,
+        )
     return DeviceCkksCiphertext(out32, hh.level, hh.scale)
 
 
@@ -888,24 +933,52 @@ def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
                 _ntt_galois_sigma(self.ctx.n, g).astype(np.int32)
             )
     msf4 = ks.prepare_msf4(self.ctx.modswitch_factors)
-    key = ("rot_many", nl)
+    # per-step deferred automorphisms as MXU matmuls when the square-view
+    # factorization applies (all steps or none: same n); P2/Q2 are
+    # step-independent, P1/Q1/S stack along the scan axis
+    use_mxu = ks.galois_mxu_operands(pow(5, uniq[0], 2 * self.ctx.n)) \
+        is not None
+    key = ("rot_many_mxu" if use_mxu else "rot_many", nl)
     if key not in self._rot_fn:
-        def fn(dlo, dhi, data32, sperms, klo, khi, plo, phi, m4):
-            lo, hi = w.deinterleave_jnp(data32)    # (2, nl, n)
-            # unpermuted base (deferred-automorphism apply; keys in the
-            # scanned stacks are pre-permuted per step)
-            res_lo = jnp.stack([lo[0], jnp.zeros_like(lo[0])])[None]
-            res_hi = jnp.stack([hi[0], jnp.zeros_like(hi[0])])[None]
+        if use_mxu:
+            def fn(dlo, dhi, data32, klo, khi, plo, phi, m4,
+                   p1s, q1s, sS, p2, q2):
+                lo, hi = w.deinterleave_jnp(data32)
+                res_lo = jnp.stack([lo[0], jnp.zeros_like(lo[0])])[None]
+                res_hi = jnp.stack([hi[0], jnp.zeros_like(hi[0])])[None]
 
-            def body(carry, xs):
-                s_idx, a, b, c, d = xs
-                olo, ohi = ks._apply_hoisted(
-                    dlo, dhi, res_lo, res_hi, a, b, c, d, m4, perm=s_idx
+                def body(carry, xs):
+                    a, b, c, d, p1, q1, sh = xs
+                    olo, ohi = ks._apply_hoisted(
+                        dlo, dhi, res_lo, res_hi, a, b, c, d, m4,
+                        galois_ops=(p1, q1, sh, p2, q2),
+                    )
+                    return carry, w.interleave_jnp(olo, ohi)[0]
+
+                _, outs = jax.lax.scan(
+                    body, 0, (klo, khi, plo, phi, p1s, q1s, sS)
                 )
-                return carry, w.interleave_jnp(olo, ohi)[0]
+                return outs                        # (S, 2, nl, 2n)
+        else:
+            def fn(dlo, dhi, data32, sperms, klo, khi, plo, phi, m4):
+                lo, hi = w.deinterleave_jnp(data32)    # (2, nl, n)
+                # unpermuted base (deferred-automorphism apply; keys in the
+                # scanned stacks are pre-permuted per step)
+                res_lo = jnp.stack([lo[0], jnp.zeros_like(lo[0])])[None]
+                res_hi = jnp.stack([hi[0], jnp.zeros_like(hi[0])])[None]
 
-            _, outs = jax.lax.scan(body, 0, (sperms,) + (klo, khi, plo, phi))
-            return outs                            # (S, 2, nl, 2n)
+                def body(carry, xs):
+                    s_idx, a, b, c, d = xs
+                    olo, ohi = ks._apply_hoisted(
+                        dlo, dhi, res_lo, res_hi, a, b, c, d, m4,
+                        perm=s_idx,
+                    )
+                    return carry, w.interleave_jnp(olo, ohi)[0]
+
+                _, outs = jax.lax.scan(
+                    body, 0, (sperms,) + (klo, khi, plo, phi)
+                )
+                return outs                        # (S, 2, nl, 2n)
 
         self._rot_fn[key] = jax.jit(fn)
     # the scan materializes ALL per-step Galois key tensors as stacked
@@ -914,6 +987,10 @@ def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
     # stays O(chunk), the hoisted prefix is still computed once, and a
     # BSGS sweep costs ceil(S/chunk) dispatches instead of S
     keyset_bytes = 4 * 4 * ks.L * ks.comp * ks.K * ks.n
+    if use_mxu:
+        # the stacked shear tensors add 4 * n1^3 bytes per step
+        n1 = 1 << ((ks.n.bit_length() - 1) // 2)
+        keyset_bytes += 4 * n1 * n1 * n1
     max_mb = int(os.environ.get("HEXL_TPU_ROT_MANY_MAX_MB", "256"))
     chunk = max(1, (max_mb << 20) // keyset_bytes)
     by_step = {}
@@ -930,10 +1007,20 @@ def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
         kstack = tuple(
             jnp.stack([kset[i] for kset in keysets]) for i in range(4)
         )
-        perms = jnp.stack([self._sigma_n[g] for g in gs])
-        outs = self._rot_fn[key](
-            hh.dlo, hh.dhi, hh.data32, perms, *kstack, msf4
-        )
+        if use_mxu:
+            gops = [ks.galois_mxu_operands(g) for g in gs]
+            p1s = jnp.stack([o[0] for o in gops])
+            q1s = jnp.stack([o[1] for o in gops])
+            sS = jnp.stack([o[2] for o in gops])
+            outs = self._rot_fn[key](
+                hh.dlo, hh.dhi, hh.data32, *kstack, msf4,
+                p1s, q1s, sS, gops[0][3], gops[0][4],
+            )
+        else:
+            perms = jnp.stack([self._sigma_n[g] for g in gs])
+            outs = self._rot_fn[key](
+                hh.dlo, hh.dhi, hh.data32, perms, *kstack, msf4
+            )
         for s, r in enumerate(sub):
             by_step[r] = DeviceCkksCiphertext(outs[s], h.level, h.scale)
     return [h if r % self.ctx.slots == 0 else by_step[r] for r in steps]

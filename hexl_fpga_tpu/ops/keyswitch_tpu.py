@@ -824,7 +824,7 @@ class KeySwitchTpuContext:
         return jnp.stack([d[0] for d in ds]), jnp.stack([d[1] for d in ds])
 
     def _apply_hoisted(self, dlo, dhi, res_lo, res_hi, keys_lo, keys_hi,
-                       kp_lo, kp_hi, msf4, perm=None):
+                       kp_lo, kp_hi, msf4, perm=None, galois_ops=None):
         """Keyswitch from a hoisted decomposition D (see _decompose).
 
         perm, an optional (n,) int32 NTT-domain permutation (the Galois
@@ -893,12 +893,41 @@ class KeySwitchTpuContext:
             for k in range(comp):
                 out_lo = out_lo.at[:, k, j, :].set(outs[k][0])
                 out_hi = out_hi.at[:, k, j, :].set(outs[k][1])
-        if perm is not None:
-            # the deferred automorphism: one gather over the comp*L output
-            # planes (canonical residues permute to canonical residues)
+        if galois_ops is not None:
+            # the deferred automorphism as MXU matmuls (ops/galois_mxu.py):
+            # XLA's lane gather for x[..., perm] costs ~8.7 ms/batch-32 at
+            # the flagship shape — more than the whole hoisted apply saves
+            # (scripts/probe_r4_hoist3.py) — while the affine factorization
+            # (static perms + per-column shear, one-hot f32 matmuls on u8
+            # limbs) is MXU work.  Canonical residues permute to canonical
+            # residues either way.
+            from . import galois_mxu
+
+            out_lo = galois_mxu.apply_galois_mxu(out_lo, *galois_ops)
+            out_hi = galois_mxu.apply_galois_mxu(out_hi, *galois_ops)
+        elif perm is not None:
+            # generic-permutation fallback (arbitrary perm, or odd-log2 n
+            # where the square-view factorization doesn't apply)
             out_lo = out_lo[..., perm]
             out_hi = out_hi[..., perm]
         return out_lo, out_hi
+
+    def galois_mxu_operands(self, g: int):
+        """Staged MXU-matmul operands for the NTT-domain Galois map of
+        element g (cached per g); None when the square-view factorization
+        does not apply (odd log2 n) — callers then use the gather path."""
+        if not hasattr(self, "_gal_ops"):
+            self._gal_ops = {}
+        if g not in self._gal_ops:
+            from . import galois_mxu
+
+            try:
+                self._gal_ops[g] = galois_mxu.stage_operands(
+                    galois_mxu.build_galois_operands(self.n, g)
+                )
+            except AssertionError:
+                self._gal_ops[g] = None
+        return self._gal_ops[g]
 
     def hoisted_key_stack(self, k_switch_keys, perms):
         """Stack sigma^{-1}-permuted key/precon tensors for a fused
@@ -927,44 +956,77 @@ class KeySwitchTpuContext:
         return DeviceDecomposition(dlo, dhi, self)
 
     def run_hoisted(self, dec, ct, k_switch_keys, modswitch_factors,
-                    perm=None) -> "DeviceCiphertext":
+                    perm=None, galois=None) -> "DeviceCiphertext":
         """Apply a keyswitch from a hoisted decomposition, accumulating into
-        ct (handle or host (B, comp*L*n) u64).  perm, if given, is a
-        CONCRETE (n,) numpy NTT-domain Galois permutation: the keys are
-        staged pre-permuted by sigma^{-1} (cached per sigma, see
-        device_keys) and the apply defers the gather to its output planes
-        (see _apply_hoisted); ct must then be the UNPERMUTED accumulation
-        base, and the output is perm(ct + delta).  The permutation is
-        traced inside the compiled program, so every rotation step of a
-        hoisted batch shares one compiled program per perm-presence."""
+        ct (handle or host (B, comp*L*n) u64).
+
+        galois, if given, is the Galois ELEMENT g (odd int mod 2n): the
+        keys stage pre-permuted by sigma_g^{-1} (cached per sigma, see
+        device_keys), the apply runs gather-free, and the deferred output
+        automorphism executes as MXU matmuls (ops/galois_mxu.py) — the
+        production rotation path.  perm is the generic alternative: a
+        CONCRETE (n,) NTT-domain permutation applied to the output planes
+        with a (slow on TPU) traced lane gather; also the automatic
+        fallback when the matmul factorization does not apply (odd log2
+        n).  ct must be the UNPERMUTED accumulation base either way; the
+        output is sigma(ct + delta).  All operands are traced, so every
+        rotation step shares one compiled program per mode."""
         if not isinstance(ct, DeviceCiphertext):
             ct = self.stage_ciphertext(np.asarray(ct, dtype=np.uint64))
         assert dec.ctx is self and ct.ctx is self
         assert dec.batch == ct.batch, (
             f"decomposition batch {dec.batch} != ciphertext batch {ct.batch}"
         )
+        gops = None
+        if galois is not None:
+            assert perm is None, "pass either galois or perm, not both"
+            from . import galois_mxu
+
+            sigma = galois_mxu.ntt_galois_sigma(
+                self.n, int(galois)
+            ).astype(np.int32)
+            gops = self.galois_mxu_operands(int(galois))
+            if gops is None:
+                perm = sigma  # fallback: gather path
+                hoist_sigma = sigma
+            else:
+                hoist_sigma = sigma
+        else:
+            hoist_sigma = None if perm is None else np.asarray(perm)
         klo, khi, plo, phi = self.device_keys(
-            k_switch_keys,
-            hoist_perm=None if perm is None else np.asarray(perm),
+            k_switch_keys, hoist_perm=hoist_sigma,
         )
         msf4 = self.prepare_msf4(modswitch_factors)
-        has_perm = perm is not None
+        mode = "galois" if gops is not None else (
+            "perm" if perm is not None else "plain"
+        )
         if not hasattr(self, "_hoisted_fns"):
             self._hoisted_fns = {}
-        if has_perm not in self._hoisted_fns:
-            def fn(dlo, dhi, ct32, a, b, c, d, m4, *p):
-                r_lo, r_hi = w.deinterleave_jnp(ct32)
-                olo, ohi = self._apply_hoisted(
-                    dlo, dhi, r_lo, r_hi, a, b, c, d, m4,
-                    perm=p[0] if p else None,
-                )
-                return w.interleave_jnp(olo, ohi)
+        if mode not in self._hoisted_fns:
+            if mode == "galois":
+                def fn(dlo, dhi, ct32, a, b, c, d, m4, *g5):
+                    r_lo, r_hi = w.deinterleave_jnp(ct32)
+                    olo, ohi = self._apply_hoisted(
+                        dlo, dhi, r_lo, r_hi, a, b, c, d, m4,
+                        galois_ops=g5,
+                    )
+                    return w.interleave_jnp(olo, ohi)
+            else:
+                def fn(dlo, dhi, ct32, a, b, c, d, m4, *p):
+                    r_lo, r_hi = w.deinterleave_jnp(ct32)
+                    olo, ohi = self._apply_hoisted(
+                        dlo, dhi, r_lo, r_hi, a, b, c, d, m4,
+                        perm=p[0] if p else None,
+                    )
+                    return w.interleave_jnp(olo, ohi)
 
-            self._hoisted_fns[has_perm] = jax.jit(fn)
+            self._hoisted_fns[mode] = jax.jit(fn)
         args = (dec.dlo, dec.dhi, ct.data32, klo, khi, plo, phi, msf4)
-        if has_perm:
+        if mode == "galois":
+            args = args + tuple(gops)
+        elif mode == "perm":
             args = args + (jnp.asarray(perm, dtype=jnp.int32),)
-        return DeviceCiphertext(self._hoisted_fns[has_perm](*args), self)
+        return DeviceCiphertext(self._hoisted_fns[mode](*args), self)
 
 
 class DeviceDecomposition:

@@ -1,0 +1,62 @@
+"""Galois-permutation-as-MXU-matmuls (ops/galois_mxu.py): the factorization
+is index-exact by construction (build asserts); these tests drive the
+device apply against jnp.take and the scalar sigma."""
+
+import numpy as np
+import pytest
+
+from hexl_fpga_tpu.ops import galois_mxu
+
+
+@pytest.mark.parametrize(
+    "n,g",
+    [
+        (1024, 5),
+        (1024, 2 * 1024 - 1),          # conjugation
+        (4096, pow(5, 11, 8192)),
+        (16384, 5),
+        (16384, pow(5, 123, 32768)),
+        (16384, 2 * 16384 - 1),
+    ],
+)
+def test_apply_matches_gather(n, g):
+    import jax.numpy as jnp
+
+    ops = galois_mxu.build_galois_operands(n, g)  # asserts index-exact
+    staged = galois_mxu.stage_operands(ops)
+    rng = np.random.default_rng(n ^ g)
+    x = rng.integers(0, 1 << 32, size=(3, n), dtype=np.uint64).astype(
+        np.uint32
+    )
+    sig = galois_mxu.ntt_galois_sigma(n, g)
+    got = np.asarray(galois_mxu.apply_galois_mxu(jnp.asarray(x), *staged))
+    np.testing.assert_array_equal(got, x[:, sig])
+
+
+def test_adversarial_values_exact():
+    """All-ones limbs (0xFFFFFFFF) and single-bit values survive the f32
+    one-hot matmuls bit-exactly regardless of backend matmul precision."""
+    import jax.numpy as jnp
+
+    n, g = 1024, 5
+    staged = galois_mxu.stage_operands(galois_mxu.build_galois_operands(n, g))
+    x = np.zeros((2, n), dtype=np.uint32)
+    x[0] = 0xFFFFFFFF
+    x[1] = (np.arange(n, dtype=np.uint32) * 0x9E3779B1) | 0x80000001
+    sig = galois_mxu.ntt_galois_sigma(n, g)
+    got = np.asarray(galois_mxu.apply_galois_mxu(jnp.asarray(x), *staged))
+    np.testing.assert_array_equal(got, x[:, sig])
+
+
+def test_odd_log2_rejected():
+    with pytest.raises(AssertionError):
+        galois_mxu.build_galois_operands(2048, 5)
+
+
+def test_sigma_matches_ckks_table():
+    from hexl_fpga_tpu.integrations.ckks import _ntt_galois_sigma
+
+    for n, g in ((1024, 5), (1024, 2047)):
+        np.testing.assert_array_equal(
+            galois_mxu.ntt_galois_sigma(n, g), _ntt_galois_sigma(n, g)
+        )

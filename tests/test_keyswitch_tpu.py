@@ -296,6 +296,26 @@ def test_hoisted_keyswitch_deferred_perm_identity(vec, ctx):
     np.testing.assert_array_equal(out, want)
 
 
+def test_hoisted_galois_mxu_matches_perm_path(vec, ctx):
+    """run_hoisted(galois=g) (deferred automorphism as MXU matmuls,
+    ops/galois_mxu.py) is BIT-IDENTICAL to run_hoisted(perm=sigma_g) (the
+    gather path) — same keys, same pipeline, only the permutation
+    implementation differs."""
+    from hexl_fpga_tpu.ops import galois_mxu
+
+    g = 5
+    sigma = galois_mxu.ntt_galois_sigma(1024, g).astype(np.int32)
+    dec = ctx.hoist(np.asarray(vec.t_target_iter_ptr, np.uint64)[None])
+    ct = np.asarray(vec.input, np.uint64)[None]
+    via_perm = ctx.run_hoisted(
+        dec, ct, vec.key_vectors, vec.modswitch_factors, perm=sigma,
+    ).to_host()
+    via_mxu = ctx.run_hoisted(
+        dec, ct, vec.key_vectors, vec.modswitch_factors, galois=g,
+    ).to_host()
+    np.testing.assert_array_equal(via_mxu, via_perm)
+
+
 def test_hoisted_keyswitch_compact_planes_reduced_level():
     """K > L+1 (an INACTIVE modulus between the level and the special
     prime): the hoisted decomposition must hold only L+1 compact planes —
