@@ -255,7 +255,7 @@ def bench_keyswitch(extras):
     # so shallow chains are fetch-bound — depth 256 is where the compiled
     # chain rate dominates, matching real rotation-chain workloads
     # (bootstrapping runs hundreds of keyswitches per fetch).
-    depth = int(os.environ.get("BENCH_CHAIN_DEPTH", 256))
+    depth = int(os.environ.get("BENCH_CHAIN_DEPTH", 512))
     S = 4
     key_sets = [vec.key_vectors] + [
         [
@@ -489,6 +489,9 @@ def main():
             extras["keyswitch_16384_6_7_7_2_e2e_op_per_s"] = round(ks_e2e, 1)
             extras["keyswitch_16384_6_7_7_2_chained_op_per_s"] = round(
                 ks_chain, 1
+            )
+            extras["keyswitch_chain_depth"] = int(
+                os.environ.get("BENCH_CHAIN_DEPTH", 512)
             )
         except Exception as exc:  # pragma: no cover
             log(f"keyswitch bench failed: {type(exc).__name__}: {exc}")

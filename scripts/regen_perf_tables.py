@@ -51,8 +51,9 @@ def readme_block(cap, label):
     ch = x.get("keyswitch_16384_6_7_7_2_chained_op_per_s")
     if ch:
         rows.append(
-            f"| KeySwitch compiled rotation chain (depth 256, per-step "
-            f"keys, one fetch) | {_fmt_k(ch)} op/s | not published |"
+            f"| KeySwitch compiled rotation chain (depth "
+            f"{x.get('keyswitch_chain_depth', 256)}, per-step keys, one "
+            f"fetch) | {_fmt_k(ch)} op/s | not published |"
         )
     ho = x.get("keyswitch_hoisted_device_op_per_s")
     if ho:
@@ -99,8 +100,9 @@ def roofline_block(cap, label):
     ch = x.get("keyswitch_16384_6_7_7_2_chained_op_per_s")
     if ch:
         rows.append(
-            f"| KeySwitch keyed rotation chain (depth 256, ONE compiled "
-            f"program, one fetch) | **{ch:,.0f} op/s** | — | — |"
+            f"| KeySwitch keyed rotation chain (depth "
+            f"{x.get('keyswitch_chain_depth', 256)}, ONE compiled program, "
+            f"one fetch) | **{ch:,.0f} op/s** | — | — |"
         )
     ho = x.get("keyswitch_hoisted_device_op_per_s")
     if ho:

@@ -109,6 +109,7 @@ def test_depth2_circuit(ctx):
     np.testing.assert_array_equal(ctx.decrypt(out), expect)
 
 
+@pytest.mark.heavy
 def test_device_rotate_matches_host_bfv():
     """BFV rotations on the inherited device evaluator: the plain keyswitch
     contexts (no plain_modulus) are exactly the CKKS ones, so

@@ -160,6 +160,7 @@ def dev(dctx):
     return bgv.DeviceBgvEvaluator(dctx, interpret=True)
 
 
+@pytest.mark.heavy
 def test_device_rotate_matches_host(dctx, dev):
     rng = np.random.default_rng(10)
     z = rng.integers(0, 65537, size=dctx.n, dtype=np.uint64)

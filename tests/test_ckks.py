@@ -104,6 +104,7 @@ def test_conjugate(ctx):
     assert np.max(np.abs(back - np.conj(z))) < 1e-3
 
 
+@pytest.mark.heavy
 def test_multiply_two_ciphertexts(ctx):
     rng = np.random.default_rng(4)
     z1 = rng.uniform(0.5, 1.5, size=ctx.slots)
@@ -136,6 +137,7 @@ def test_device_evaluator_rotate_matches_host(ctx, ev):
     assert got.level == want.level and got.scale == want.scale
 
 
+@pytest.mark.heavy
 def test_device_evaluator_chain(ctx, ev):
     """rotate -> rotate -> add chain entirely on device, one final fetch;
     decrypts to the expected rotated slots."""
@@ -167,6 +169,7 @@ def test_ntt_galois_sigma_property():
         np.testing.assert_array_equal(lhs, rhs)
 
 
+@pytest.mark.heavy
 def test_device_evaluator_multiply_relin_rescale_matches_host(ctx, ev):
     """Device multiply+relinearize and rescale must equal the host path
     bit-for-bit (same dyadic kernel math, same keyswitch, same exact RNS
@@ -185,6 +188,7 @@ def test_device_evaluator_multiply_relin_rescale_matches_host(ctx, ev):
     assert got_rs.level == want_rs.level
 
 
+@pytest.mark.heavy
 def test_device_evaluator_full_pipeline(ctx, ev):
     """encrypt -> (device: multiply_relin -> rescale -> rotate -> add) ->
     decrypt: the whole evaluation stays on the accelerator."""
@@ -201,6 +205,7 @@ def test_device_evaluator_full_pipeline(ctx, ev):
     assert np.max(np.abs(back - want)) < 1e-2
 
 
+@pytest.mark.heavy
 def test_device_evaluator_plain_ops_match_host(ctx, ev):
     """Device add_plain / multiply_plain equal the host path bit-for-bit."""
     rng = np.random.default_rng(9)
@@ -217,6 +222,7 @@ def test_device_evaluator_plain_ops_match_host(ctx, ev):
     assert got_mul.scale == want_mul.scale
 
 
+@pytest.mark.heavy
 def test_device_evaluator_hoisted_rotations(ctx, ev):
     """Hoisted rotations (decompose once, rotate many): each rotation from
     one hoisted decomposition decrypts to the rotated slots.  Hoisting
@@ -241,6 +247,7 @@ def test_device_evaluator_hoisted_rotations(ctx, ev):
         )
 
 
+@pytest.mark.heavy
 def test_device_evaluator_hoisted_rotation_reduced_level(ctx, ev):
     """Hoisted rotation AFTER a rescale: the level drops (nl < K-1), so the
     compact hoisted decomposition (L+1 active planes, inactive moduli
@@ -258,6 +265,7 @@ def test_device_evaluator_hoisted_rotation_reduced_level(ctx, ev):
         assert np.max(np.abs(back - want)) < 1e-2, f"rotation {r}"
 
 
+@pytest.mark.heavy
 def test_device_evaluator_rotate_many_fused_matches_unfused(ctx, ev):
     """The fused scan (one dispatch for all steps) computes exactly the
     same integers as per-step rotate_hoisted dispatches."""
@@ -271,6 +279,7 @@ def test_device_evaluator_rotate_many_fused_matches_unfused(ctx, ev):
                                       np.asarray(b.data32))
 
 
+@pytest.mark.heavy
 def test_device_evaluator_rotate_many_chunked_matches_unfused(
         ctx, ev, monkeypatch):
     """HEXL_TPU_ROT_MANY_MAX_MB=0 forces chunk=1 (the key-stack memory
@@ -287,6 +296,7 @@ def test_device_evaluator_rotate_many_chunked_matches_unfused(
                                       np.asarray(b.data32))
 
 
+@pytest.mark.heavy
 def test_mod_switch_to_next_host_and_device(ctx, ev):
     """Dropping the last modulus without rescale: same decryption (scale
     unchanged), level aligned for subsequent ops; device path matches the
@@ -309,6 +319,7 @@ def test_mod_switch_to_next_host_and_device(ctx, ev):
     assert np.max(np.abs(ctx.decrypt(both) - (z + z2))) < 1e-2
 
 
+@pytest.mark.heavy
 def test_device_evaluator_conjugate_hoisted(ctx, ev):
     rng = np.random.default_rng(11)
     z = rng.standard_normal(ctx.slots) + 1j * rng.standard_normal(ctx.slots)
@@ -317,6 +328,7 @@ def test_device_evaluator_conjugate_hoisted(ctx, ev):
     assert np.max(np.abs(back - np.conj(z))) < 1e-2
 
 
+@pytest.mark.heavy
 def test_device_evaluator_linear_transform(ctx, ev):
     """BSGS diagonal-method matrix-vector product on device (hoisted baby
     rotations + giant-step keyswitches) decrypts to sum_d u_d * rot_d(z)."""

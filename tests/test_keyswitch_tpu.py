@@ -92,12 +92,26 @@ def test_device_key_cache_detects_mutation(vec):
     )
 
 
-def test_rns_is_fence_only(vec, ctx):
+def test_rns_accepts_any_positive(vec):
     """rns_modulus_size is fence-only metadata in the reference (stored and
     compared at `host/src/fpga_int.cpp:443`, never passed to a device
-    kernel): any positive value must produce the same bits; zero is
-    rejected (`host/src/keyswitch.cpp:28`).  rns=4 reuses the shared ctx's
-    traced kernels (same moduli/twiddles), so this stays cheap."""
+    kernel): any positive value constructs; zero is rejected
+    (`host/src/keyswitch.cpp:28`).  Bit-exactness across rns values is
+    proven at the golden tier (test_keyswitch_golden) and, on this path,
+    in the heavy variant below (a second context = a second compile)."""
+    for rns in (1, 3, 9):
+        keyswitch_tpu.KeySwitchTpuContext(
+            1024, 2, 3, rns, 2, vec.moduli, None, tile_p=2, interpret=True,
+        )
+    with pytest.raises(AssertionError):
+        keyswitch_tpu.KeySwitchTpuContext(
+            1024, 2, 3, 0, 2, vec.moduli, None, tile_p=2, interpret=True,
+        )
+
+
+@pytest.mark.heavy
+def test_rns_is_fence_only_bit_exact(vec, ctx):
+    """Any positive rns produces the same bits through the TPU context."""
     ctx4 = keyswitch_tpu.get_context(
         1024, 2, 3, 4, 2, vec.moduli, vec.twiddle_factors,
         tile_p=2, interpret=True,
@@ -106,12 +120,9 @@ def test_rns_is_fence_only(vec, ctx):
         vec.input, vec.t_target_iter_ptr, vec.key_vectors, vec.modswitch_factors
     )
     np.testing.assert_array_equal(got, vec.expected_output)
-    with pytest.raises(AssertionError):
-        keyswitch_tpu.KeySwitchTpuContext(
-            1024, 2, 3, 0, 2, vec.moduli, None, tile_p=2, interpret=True,
-        )
 
 
+@pytest.mark.heavy
 def test_keyswitch_mac_exact128(vec):
     """Quotient-free 128-bit-accumulation MAC (mac_impl="exact128"):
     bit-exact with the deferred-quotient production schedule."""
@@ -125,6 +136,7 @@ def test_keyswitch_mac_exact128(vec):
     np.testing.assert_array_equal(got, vec.expected_output)
 
 
+@pytest.mark.heavy
 def test_keyswitch_fused_mac_engine(vec):
     """Alternative fused transform+MAC engine kernel (raw_fwd_mac_call):
     bit-exact with the default schedule, including batch padding."""
