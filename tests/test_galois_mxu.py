@@ -1,6 +1,7 @@
 """Galois-permutation-as-MXU-matmuls (ops/galois_mxu.py): the factorization
-is index-exact by construction (build asserts); these tests drive the
-device apply against jnp.take and the scalar sigma."""
+is index-exact by construction (build verifies and raises ValueError);
+these tests drive the device apply against jnp.take and the scalar sigma,
+including the rectangular views (odd log2 n: 2048, 8192)."""
 
 import numpy as np
 import pytest
@@ -13,7 +14,12 @@ from hexl_fpga_tpu.ops import galois_mxu
     [
         (1024, 5),
         (1024, 2 * 1024 - 1),          # conjugation
+        (2048, 5),                     # rectangular (64, 32) view
+        (2048, pow(5, 9, 4096)),
         (4096, pow(5, 11, 8192)),
+        (8192, 5),                     # rectangular (128, 64) view —
+        (8192, pow(5, 33, 16384)),     # first-class reference config
+        (8192, 2 * 8192 - 1),
         (16384, 5),
         (16384, pow(5, 123, 32768)),
         (16384, 2 * 16384 - 1),
@@ -22,7 +28,7 @@ from hexl_fpga_tpu.ops import galois_mxu
 def test_apply_matches_gather(n, g):
     import jax.numpy as jnp
 
-    ops = galois_mxu.build_galois_operands(n, g)  # asserts index-exact
+    ops = galois_mxu.build_galois_operands(n, g)  # verifies index-exact
     staged = galois_mxu.stage_operands(ops)
     rng = np.random.default_rng(n ^ g)
     x = rng.integers(0, 1 << 32, size=(3, n), dtype=np.uint64).astype(
@@ -48,15 +54,29 @@ def test_adversarial_values_exact():
     np.testing.assert_array_equal(got, x[:, sig])
 
 
-def test_odd_log2_rejected():
-    with pytest.raises(AssertionError):
-        galois_mxu.build_galois_operands(2048, 5)
+def test_invalid_inputs_rejected():
+    """Explicit ValueError gates (assert-free: they must survive -O)."""
+    with pytest.raises(ValueError):
+        galois_mxu.build_galois_operands(1000, 5)  # not a power of two
+    with pytest.raises(ValueError):
+        galois_mxu.build_galois_operands(1024, 4)  # even galois element
+
+
+def test_host_index_mirror():
+    """_apply_index (the numpy gather mirror of the matmul chain) agrees
+    with the direct sigma — the same check build_galois_operands gates on,
+    exercised here at a rectangular shape."""
+    n, g = 2048, pow(5, 5, 4096)
+    ops = galois_mxu.build_galois_operands(n, g)
+    x = np.arange(n, dtype=np.int64) * 7 + 3
+    sig = galois_mxu.ntt_galois_sigma(n, g)
+    np.testing.assert_array_equal(galois_mxu._apply_index(ops, x), x[sig])
 
 
 def test_sigma_matches_ckks_table():
     from hexl_fpga_tpu.integrations.ckks import _ntt_galois_sigma
 
-    for n, g in ((1024, 5), (1024, 2047)):
+    for n, g in ((1024, 5), (1024, 2047), (8192, 5)):
         np.testing.assert_array_equal(
             galois_mxu.ntt_galois_sigma(n, g), _ntt_galois_sigma(n, g)
         )
