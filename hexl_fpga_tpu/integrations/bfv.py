@@ -228,30 +228,68 @@ class BfvContext(ckks.CkksContext):
         if nl not in self._behz_tools:
             from ..ops import rns_behz
 
-            bits = max(int(q).bit_length() for q in self.moduli[:nl])
+            # aux_bits auto: BehzTool widens the Bsk primes until the BEHZ
+            # range condition prod(B)*m_sk > 2*t*n*(k+2)^2*prod(q) holds
+            # (and raises if it can't) — the old min(51, bits) cap could
+            # silently under-size Bsk for large t and corrupt decryption
             self._behz_tools[nl] = rns_behz.BehzTool(
-                self.n, self.moduli[:nl], self.t, aux_bits=min(51, bits)
+                self.n, self.moduli[:nl], self.t
             )
         return self._behz_tools[nl]
 
-    def multiply_rns(self, ct1: Ciphertext, ct2: Ciphertext):
-        """Full-RNS BFV multiply (BEHZ, `ops/rns_behz.py`): limb-wise base
-        extension + NTT-domain tensor + fast floor + Shenoy back-conversion.
-        No big-int convolution anywhere — every step is residue-vectorized
-        (the device-shaped formulation; the textbook `multiply` remains the
-        exactness oracle).  Result differs from `multiply` only by the
-        bounded BEHZ correction terms, which land in the noise: decryption
-        agrees whenever the budget is positive (tests/test_rns_behz.py).
-        Beyond reference capability: SEAL computes this on the CPU even
-        with the FPGA attached."""
+    def _behz_tpu(self, nl: int):
+        """Per-level DEVICE BEHZ tool (ops/rns_behz_tpu.py), cached; None
+        when the shape is below the MXU kernel floor (n < 1024) or the
+        auto-sized Bsk primes exceed the plan's 2^55 ceiling — the host
+        tool then serves (same results, same tests)."""
+        if not hasattr(self, "_behz_tpu_tools"):
+            self._behz_tpu_tools = {}
+        if nl not in self._behz_tpu_tools:
+            from ..ops import rns_behz_tpu
+
+            try:
+                import jax
+
+                # CPU backend: the XLA butterfly engines (interpret-mode
+                # Pallas execution of ~17k+7 transforms costs minutes per
+                # multiply); TPU: the fused MXU kernels
+                cpu = jax.devices()[0].platform == "cpu"
+                self._behz_tpu_tools[nl] = rns_behz_tpu.BehzTpu(
+                    self._behz(nl), self.tabs[:nl],
+                    engine_impl="xla" if cpu else "mxu",
+                )
+            except ValueError:
+                self._behz_tpu_tools[nl] = None
+        return self._behz_tpu_tools[nl]
+
+    def multiply_rns(self, ct1: Ciphertext, ct2: Ciphertext,
+                     device: bool | None = None):
+        """Full-RNS BFV multiply (BEHZ): limb-wise base extension +
+        NTT-domain tensor + fast floor + Shenoy back-conversion.  No
+        big-int convolution anywhere — and the whole pipeline runs ON THE
+        DEVICE (ops/rns_behz_tpu.py: fused MXU NTTs + u32-pair lane math
+        in one jit) whenever the shape fits the MXU kernels (n >= 1024);
+        device=None auto-selects, True forces (raising if unsupported),
+        False forces the host NumPy tool (ops/rns_behz.py — the oracle the
+        device path is bit-exact against, tests/test_rns_behz_tpu.py).
+        Result differs from `multiply` only by the bounded BEHZ correction
+        terms, which land in the noise: decryption agrees whenever the
+        budget is positive (tests/test_rns_behz.py).  Beyond reference
+        capability: SEAL computes this on the CPU even with the FPGA
+        attached."""
         assert ct1.level == ct2.level
         nl = ct1.level + 1
-        d = self._behz(nl).multiply(
-            np.asarray(ct1.data[:, :nl], dtype=np.uint64),
-            np.asarray(ct2.data[:, :nl], dtype=np.uint64),
-            self.tabs[:nl],
-        )
-        return d, 1.0
+        c1 = np.asarray(ct1.data[:, :nl], dtype=np.uint64)
+        c2 = np.asarray(ct2.data[:, :nl], dtype=np.uint64)
+        tpu = self._behz_tpu(nl) if device in (None, True) else None
+        if device is True and tpu is None:
+            raise ValueError(
+                "device BEHZ unavailable at this shape (n < 1024 or Bsk "
+                "primes beyond the MXU plan)"
+            )
+        if tpu is not None:
+            return tpu.multiply(c1, c2), 1.0
+        return self._behz(nl).multiply(c1, c2, self.tabs[:nl]), 1.0
 
     def rescale(self, ct: Ciphertext) -> Ciphertext:
         raise TypeError(

@@ -55,15 +55,47 @@ class BehzTool:
     q_moduli: the level's ciphertext primes (NTT-friendly for 2n).
     Auxiliary base B (len(q) primes) + m_sk are drawn NTT-friendly and
     distinct from q; m_tilde = 2^32 (power of two: its modular ops are
-    masks, exactly SEAL's choice `seal/util/rns.cpp` RNSTool m_tilde_)."""
+    masks, exactly SEAL's choice `seal/util/rns.cpp` RNSTool m_tilde_).
+
+    aux_bits (None = auto) sizes the Bsk primes.  Two hard requirements,
+    both verified (ValueError) rather than assumed:
+      * every aux modulus > 2^32: the SmMRq magnitude rmag < m_tilde/2 =
+        2^31 must satisfy golden.mul_mod's x < q precondition, so aux
+        primes start at 33 bits even for small q;
+      * the BEHZ range condition prod(B)*m_sk > 2*t*n*(k+2)^2*prod(q):
+        the t-scaled tensor-product coefficients (|d| <= n((k+2)q/2)^2
+        after the +/-(k+1)/2 extension overflow, so |g| <= tn(k+2)^2 q/4
+        + k after fast_floor) must fit the Bsk CRT range or fast_floor /
+        Shenoy silently wrap and decryption corrupts with no error (SEAL
+        guarantees this by always using max-size Bsk primes).
+    Auto mode starts at max(q_bits, 33) and widens up to 62 bits (the
+    golden-model modulus ceiling) until the bound holds."""
+
+    AUX_BITS_MAX = 62
 
     def __init__(self, n: int, q_moduli: Sequence[int], t: int,
-                 aux_bits: int = 51):
+                 aux_bits: int | None = None):
         self.n = int(n)
         self.q = [int(m) for m in q_moduli]
         self.t = int(t)
         k = len(self.q)
         self.k = k
+        q_prod_early = _prod(self.q)
+        behz_rhs = 2 * self.t * self.n * (k + 2) ** 2 * q_prod_early
+        if aux_bits is None:
+            bits = max(max(int(q).bit_length() for q in self.q), 33)
+            while bits < self.AUX_BITS_MAX and (
+                # k primes of `bits` bits (each > 2^(bits-1)) + m_sk
+                (1 << ((bits - 1) * (k + 1))) <= behz_rhs
+            ):
+                bits += 1
+            aux_bits = bits
+        if aux_bits < 33:
+            raise ValueError(
+                f"aux_bits={aux_bits} < 33: SmMRq needs every Bsk modulus "
+                "above m_tilde/2 = 2^31 (see class docstring)"
+            )
+        self.aux_bits = int(aux_bits)
         # auxiliary primes: skip any that collide with q (or t)
         taken = set(self.q) | {self.t}
         aux: List[int] = []
@@ -78,6 +110,13 @@ class BehzTool:
         self.b = aux[:k]
         self.m_sk = aux[k]
         self.Bsk = self.b + [self.m_sk]
+        if _prod(self.b) * self.m_sk <= behz_rhs:
+            raise ValueError(
+                "BEHZ range condition violated: prod(B)*m_sk <= "
+                f"2*t*n*(k+2)^2*prod(q) at aux_bits={aux_bits} "
+                "(fast_floor/Shenoy exactness would silently break; "
+                "raise aux_bits or lower t)"
+            )
         self.m_tilde = 1 << 32
 
         q_prod = _prod(self.q)

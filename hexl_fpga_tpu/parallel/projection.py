@@ -115,24 +115,97 @@ def keyswitch_mp_projection(
     )
 
 
+def keyswitch_hoisted_mp_projection(
+    P: int,
+    t1_ms: float,
+    t1h_ms: float,
+    batch: int,
+    n: int = 16384,
+    L: int = 6,
+    comp: int = 2,
+    alpha: float = 0.65,
+    part: str = "v5e",
+) -> MpProjection:
+    """Project the SHARDED HOISTED apply on P chips
+    (ShardedKeySwitch.hoist/run_hoisted): the decomposition already lives
+    slot-sharded, so an apply runs {MAC over owned engines + INTT2 on the
+    special owner + tails and the deferred automorphism on owned decomp
+    slots} + the same two collectives as the full path.
+
+    t1_ms: measured single-chip FULL keyswitch per-batch ms (calibrates
+    the per-transform-row cost via alpha); t1h_ms: measured single-chip
+    HOISTED apply per-batch ms (driver keyswitch_hoisted_device_op_per_s).
+    The transform part scales with the worst chip's hoisted rows; the
+    remaining residue (MAC + automorphism matmuls) scales with owned
+    engines."""
+    assert P >= 1
+    K_eng = L + 1
+    R1 = L + K_eng * L + comp + comp * L
+    R1h = comp + comp * L  # hoisted apply rows: INTT2 + tails
+    engines = list(range(L)) + [K_eng - 1]
+    while len(engines) % P:
+        engines.append(-1)
+    per_shard = len(engines) // P
+    row_ms = t1_ms * alpha / R1  # calibrated per-transform-row cost
+    worst = 0.0
+    worst_eng = 0
+    resid_1 = t1h_ms - row_ms * R1h  # MAC + automorphism on one chip
+    for p in range(P):
+        owned = [e for e in engines[p * per_shard: (p + 1) * per_shard]
+                 if e >= 0]
+        rows = sum(comp for _ in owned)  # INTT2 (special) / tails (decomp)
+        t = row_ms * rows + resid_1 * len(owned) / K_eng
+        if t > worst:
+            worst = t
+            worst_eng = len(owned)
+    plane = batch * comp * n * 4 * 2
+    out_bytes = L * plane
+    bw = ICI_BW[part]
+    ring = (P - 1) / P if P > 1 else 0.0
+    comm_ms = (2 * plane * ring + out_bytes * ring) / bw * 1e3 + (
+        0.02 if P > 1 else 0.0
+    )
+    t_p = worst + comm_ms
+    return MpProjection(
+        chips=P, t1_ms=t1h_ms, t_p_ms=round(t_p, 3),
+        compute_ms=round(worst, 3), comm_ms=round(comm_ms, 3),
+        speedup=round(t1h_ms / t_p, 2),
+        efficiency=round(t1h_ms / (P * t_p), 3),
+    )
+
+
 def dist_ntt_sp_projection(
     P: int,
     t1_ms: float,
     batch: int,
     n: int = 16384,
     part: str = "v5e",
+    chunks: int = 4,
 ) -> MpProjection:
     """Coefficient-sharded MXU dist-NTT ('sp', dist_fwd_ntt_mxu): both
-    matmul stages scale 1/P; ONE exact reduce_scatter of the int16 limb
-    planes (~16 B/coefficient, parallel/sharded.py) is the only
-    collective."""
+    matmul stages scale 1/P; the exact reduce_scatter of the int16 limb
+    planes (~16 B/coefficient total, parallel/sharded.py) is the only
+    collective.
+
+    chunks mirrors the implementation's batch chunking: chunk c's
+    psum_scatter overlaps chunk c+1's matmuls (async collectives +
+    latency-hiding scheduler), so only ~1/chunks of whichever is SMALLER
+    (compute or comm) stays exposed — the standard software-pipelining
+    bound T = max(A, B) + min(A, B)/C.  chunks=1 reproduces the round-4
+    serialized model (eff 0.27 at P=8)."""
     compute_ms = t1_ms / P
     bytes_total = batch * n * 16
     ring = (P - 1) / P if P > 1 else 0.0
-    comm_ms = bytes_total * ring / ICI_BW[part] * 1e3 + (
-        0.01 if P > 1 else 0.0
-    )
-    t_p = compute_ms + comm_ms
+    comm_ms = bytes_total * ring / ICI_BW[part] * 1e3
+    C = max(1, int(chunks))
+    if P > 1:
+        t_p = (
+            max(compute_ms, comm_ms)
+            + min(compute_ms, comm_ms) / C
+            + 0.01 * C  # per-chunk collective dispatch floor
+        )
+    else:
+        t_p = compute_ms
     return MpProjection(
         chips=P, t1_ms=t1_ms, t_p_ms=round(t_p, 4),
         compute_ms=round(compute_ms, 4), comm_ms=round(comm_ms, 4),
@@ -143,9 +216,11 @@ def dist_ntt_sp_projection(
 
 def report(t1_ks_ms: float = 9.4, ks_batch: int = 32,
            t1_ntt_ms: float = 15.2, ntt_batch: int = 4096,
+           t1_hoisted_ms: float = 6.3,
            part: str = "v5e") -> str:
     """Human-readable projection block for the dryrun log (defaults: the
-    round-3/4 driver medians)."""
+    round-4 driver medians; t1_hoisted_ms from
+    keyswitch_hoisted_device_op_per_s)."""
     lines = [
         f"scaling projection ({part}; model: parallel/projection.py, "
         f"doc/roofline.md):",
@@ -157,6 +232,15 @@ def report(t1_ks_ms: float = 9.4, ks_batch: int = 32,
         p = keyswitch_mp_projection(P, t1_ks_ms, ks_batch, part=part)
         lines.append(
             f"  mp (keyswitch latency) P={P}: {p.t_p_ms} ms/batch "
+            f"(compute {p.compute_ms} + comm {p.comm_ms}) "
+            f"speedup {p.speedup}x eff {p.efficiency:.2f}"
+        )
+    for P in (2, 4, 8):
+        p = keyswitch_hoisted_mp_projection(
+            P, t1_ks_ms, t1_hoisted_ms, ks_batch, part=part
+        )
+        lines.append(
+            f"  hoisted-mp (rotation latency) P={P}: {p.t_p_ms} ms/batch "
             f"(compute {p.compute_ms} + comm {p.comm_ms}) "
             f"speedup {p.speedup}x eff {p.efficiency:.2f}"
         )

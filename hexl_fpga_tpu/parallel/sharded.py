@@ -344,9 +344,10 @@ def dist_inv_ntt(mesh: Mesh, axis: str, n: int, q: int):
     return jax.jit(lambda lo, hi: fn(lo, hi, *tabs))
 
 
-def dist_fwd_ntt_mxu(mesh: Mesh, axis: str, n: int, q: int):
+def dist_fwd_ntt_mxu(mesh: Mesh, axis: str, n: int, q: int,
+                     chunks: int = 4):
     """MXU-tier coefficient-sharded forward NTT: the four-step formulation
-    (ops/ntt_mxu.py) distributed with ONE reduce_scatter.
+    (ops/ntt_mxu.py) distributed with per-chunk reduce_scatters.
 
     Decomposition n = n1*n2 (n2 = 128 lanes); the input shard of shard p is
     the j1-row block of the (n1, n2) view, so:
@@ -362,7 +363,12 @@ def dist_fwd_ntt_mxu(mesh: Mesh, axis: str, n: int, q: int):
     Output is coefficient-sharded in natural m-major order — the same
     placement as the input, so transforms chain without resharding.
 
-    Comm volume: one reduce_scatter of 16 bytes/coefficient — the direct
+    chunks > 1 splits the BATCH into independent chunk pipelines so chunk
+    c's psum_scatter overlaps chunk c+1's stage-1 matmul (XLA's async
+    collectives + latency-hiding scheduler; the monolithic collective
+    serialized after both matmul stages and collapsed the P=8 projection
+    to 0.27).  Bit-exact for any chunking — chunks only partition the
+    batch.  Comm volume unchanged: 16 bytes/coefficient total — the direct
     analog of the reference's single cross-engine broadcast point
     (`intt1_forward.hpp:8`), on ICI instead of FIFOs.
     """
@@ -398,47 +404,84 @@ def dist_fwd_ntt_mxu(mesh: Mesh, axis: str, n: int, q: int):
     def local(lo, hi, g_p, c_p, uwl, uwh, upl, uph, g2r, c2r):
         B = lo.shape[0]
         g_p, c_p = g_p[0], c_p[0]          # strip the sharded leading dim
-        # (B, r1*n2) -> (r1, B*n2): stage-1 contraction axis leading
-        lo1 = lo.reshape(B, r1, n2).transpose(1, 0, 2).reshape(r1, B * n2)
-        hi1 = hi.reshape(B, r1, n2).transpose(1, 0, 2).reshape(r1, B * n2)
-        a, rowsum = MP._limbs_axis0(lo1, hi1, nl)
-        S_list = []
-        for s in range(nl):
-            dot = jax.lax.dot_general(
-                g_p[s], a,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+
+        def stage1_scatter(lo_c, hi_c):
+            """Chunk prologue: local stage-1 matmul + its psum_scatter —
+            everything between two chunks' scatters is independent, so
+            the scheduler overlaps collective c with matmul c+1."""
+            Bc = lo_c.shape[0]
+            lo1 = lo_c.reshape(Bc, r1, n2).transpose(1, 0, 2).reshape(
+                r1, Bc * n2
             )
-            S_list.append(dot + c_p[s][:, None] + 128 * rowsum)
-        vv = MP._assemble_fold(S_list, c64)
-        clo, chi = MP._barrett_canonical(vv, q, q_barr)  # partial C_p < q
-        # exact cross-shard sum + scatter over m1: four 16-bit planes
-        planes = [
-            (clo & 0xFFFF).astype(jnp.int32),
-            (clo >> 16).astype(jnp.int32),
-            (chi & 0xFFFF).astype(jnp.int32),
-            (chi >> 16).astype(jnp.int32),
-        ]
-        planes = [
-            jax.lax.psum_scatter(pl, axis, scatter_dimension=0, tiled=True)
-            for pl in planes
-        ]  # each (r1, B*n2), values < P * 2^16
-        p0, p1, p2, p3 = [pl.astype(jnp.uint32) for pl in planes]
-        # value = p0 + p1<<16 + p2<<32 + p3<<48  (< P*q < 2^55: p3 < 2^23)
-        v = w.add64((p0, jnp.zeros_like(p0)), (p1 << 16, p1 >> 16))
-        v = w.add64(v, (jnp.zeros_like(p2), p2 + (p3 << 16)))
-        # Harvey lazy twiddle by U (rows m1-local): exact for any u64 rep
-        v3 = (v[0].reshape(r1, B, n2), v[1].reshape(r1, B, n2))
-        wt = (uwl[:, None, :], uwh[:, None, :], upl[:, None, :], uph[:, None, :])
-        tlo, thi = MP._lazy_twiddle(v3, wt, q)  # [0, 2q)
-        # stage 2: local right matmul over j2 on ((m1, b), j2)
-        olo, ohi = MP._stage_right_inkernel(
-            tlo.reshape(r1 * B, n2), thi.reshape(r1 * B, n2),
-            g2r, c2r, q, c64, q_barr,
+            hi1 = hi_c.reshape(Bc, r1, n2).transpose(1, 0, 2).reshape(
+                r1, Bc * n2
+            )
+            a, rowsum = MP._limbs_axis0(lo1, hi1, nl)
+            S_list = []
+            for s in range(nl):
+                dot = jax.lax.dot_general(
+                    g_p[s], a,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                S_list.append(dot + c_p[s][:, None] + 128 * rowsum)
+            vv = MP._assemble_fold(S_list, c64)
+            clo, chi = MP._barrett_canonical(vv, q, q_barr)  # partial < q
+            # exact cross-shard sum + scatter over m1: four 16-bit planes
+            planes = [
+                (clo & 0xFFFF).astype(jnp.int32),
+                (clo >> 16).astype(jnp.int32),
+                (chi & 0xFFFF).astype(jnp.int32),
+                (chi >> 16).astype(jnp.int32),
+            ]
+            return [
+                jax.lax.psum_scatter(
+                    pl, axis, scatter_dimension=0, tiled=True
+                )
+                for pl in planes
+            ]  # each (r1, Bc*n2), values < P * 2^16
+
+        def tail(planes, Bc):
+            p0, p1, p2, p3 = [pl.astype(jnp.uint32) for pl in planes]
+            # value = p0 + p1<<16 + p2<<32 + p3<<48 (< P*q < 2^55)
+            v = w.add64((p0, jnp.zeros_like(p0)), (p1 << 16, p1 >> 16))
+            v = w.add64(v, (jnp.zeros_like(p2), p2 + (p3 << 16)))
+            # Harvey lazy twiddle by U (rows m1-local): exact any u64 rep
+            v3 = (v[0].reshape(r1, Bc, n2), v[1].reshape(r1, Bc, n2))
+            wt = (uwl[:, None, :], uwh[:, None, :],
+                  upl[:, None, :], uph[:, None, :])
+            tlo, thi = MP._lazy_twiddle(v3, wt, q)  # [0, 2q)
+            # stage 2: local right matmul over j2 on ((m1, b), j2)
+            olo, ohi = MP._stage_right_inkernel(
+                tlo.reshape(r1 * Bc, n2), thi.reshape(r1 * Bc, n2),
+                g2r, c2r, q, c64, q_barr,
+            )
+            return (
+                olo.reshape(r1, Bc, n2).transpose(1, 0, 2).reshape(
+                    Bc, r1 * n2
+                ),
+                ohi.reshape(r1, Bc, n2).transpose(1, 0, 2).reshape(
+                    Bc, r1 * n2
+                ),
+            )
+
+        # static batch chunking (bounds at trace time)
+        C = max(1, min(chunks, B))
+        bounds = [round(c * B / C) for c in range(C + 1)]
+        outs = []
+        for c in range(C):
+            s0, s1 = bounds[c], bounds[c + 1]
+            if s1 == s0:
+                continue
+            planes = stage1_scatter(lo[s0:s1], hi[s0:s1])
+            outs.append((planes, s1 - s0))
+        parts = [tail(planes, Bc) for planes, Bc in outs]
+        if len(parts) == 1:
+            return parts[0]
+        return (
+            jnp.concatenate([p[0] for p in parts]),
+            jnp.concatenate([p[1] for p in parts]),
         )
-        out_lo = olo.reshape(r1, B, n2).transpose(1, 0, 2).reshape(B, r1 * n2)
-        out_hi = ohi.reshape(r1, B, n2).transpose(1, 0, 2).reshape(B, r1 * n2)
-        return out_lo, out_hi
 
     kwargs = dict(
         mesh=mesh,
@@ -463,10 +506,13 @@ def dist_fwd_ntt_mxu(mesh: Mesh, axis: str, n: int, q: int):
     return jax.jit(lambda lo, hi: fn(lo, hi, *tabs))
 
 
-def dist_inv_ntt_mxu(mesh: Mesh, axis: str, n: int, q: int):
+def dist_inv_ntt_mxu(mesh: Mesh, axis: str, n: int, q: int,
+                     chunks: int = 4):
     """MXU-tier coefficient-sharded INVERSE NTT: the four-step formulation
-    mirrored (one reduce_scatter), the seam symmetric with the reference's
-    inverse kernel (`device/inv_ntt.cpp` mirroring `fwd_ntt.cpp:146`).
+    mirrored (per-chunk reduce_scatters, batch-chunked for collective/
+    compute overlap exactly as dist_fwd_ntt_mxu), the seam symmetric with
+    the reference's inverse kernel (`device/inv_ntt.cpp` mirroring
+    `fwd_ntt.cpp:146`).
 
     Shard placement matches dist_fwd_ntt_mxu exactly — the (n1, n2) row
     view's n1 dim is sharded in natural order — so INTT -> NTT round trips
@@ -516,45 +562,78 @@ def dist_inv_ntt_mxu(mesh: Mesh, axis: str, n: int, q: int):
     def local(lo, hi, g1r, c1r, vwl, vwh, vpl, vph, g2_p, c2_p):
         B = lo.shape[0]
         g2_p, c2_p = g2_p[0], c2_p[0]      # strip the sharded leading dim
-        # stage 1: local right matmul on ((B, m1_local), n2) — m1 minor so
-        # the V-table broadcast in _stage_right_inkernel lines up
-        lo1 = lo.reshape(B * r1, n2)
-        hi1 = hi.reshape(B * r1, n2)
-        plo, phi = MP._stage_right_inkernel(
-            lo1, hi1, g1r, c1r, q, c64, q_barr,
-            w_tables=(vwl, vwh, vpl, vph), n1=r1,
-        )  # lazy [0, 2q), rows (B*r1, n2) — V rows broadcast over B
-        # stage 2: local left matmul over this shard's m1 rows -> partials
-        p3lo = plo.reshape(B, r1, n2).transpose(1, 0, 2).reshape(r1, B * n2)
-        p3hi = phi.reshape(B, r1, n2).transpose(1, 0, 2).reshape(r1, B * n2)
-        a, rowsum = MP._limbs_axis0(p3lo, p3hi, nl)
-        S_list = []
-        for s in range(nl):
-            dot = jax.lax.dot_general(
-                g2_p[s], a,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+
+        def stages_scatter(lo_c, hi_c):
+            """Chunk prologue: both local matmul stages + the chunk's
+            psum_scatter (independent across chunks -> overlappable)."""
+            Bc = lo_c.shape[0]
+            # stage 1: local right matmul on ((Bc, m1_local), n2) — m1
+            # minor so the V-table broadcast lines up
+            plo, phi = MP._stage_right_inkernel(
+                lo_c.reshape(Bc * r1, n2), hi_c.reshape(Bc * r1, n2),
+                g1r, c1r, q, c64, q_barr,
+                w_tables=(vwl, vwh, vpl, vph), n1=r1,
+            )  # lazy [0, 2q) — V rows broadcast over Bc
+            # stage 2: local left matmul over this shard's m1 rows
+            p3lo = plo.reshape(Bc, r1, n2).transpose(1, 0, 2).reshape(
+                r1, Bc * n2
             )
-            S_list.append(dot + c2_p[s][:, None] + 128 * rowsum)
-        vv = MP._assemble_fold(S_list, c64)
-        clo, chi = MP._barrett_canonical(vv, q, q_barr)  # partial < q
-        planes = [
-            (clo & 0xFFFF).astype(jnp.int32),
-            (clo >> 16).astype(jnp.int32),
-            (chi & 0xFFFF).astype(jnp.int32),
-            (chi >> 16).astype(jnp.int32),
-        ]
-        planes = [
-            jax.lax.psum_scatter(pl, axis, scatter_dimension=0, tiled=True)
-            for pl in planes
-        ]  # each (r1, B*n2)
-        p0, p1, p2, p3 = [pl.astype(jnp.uint32) for pl in planes]
-        v = w.add64((p0, jnp.zeros_like(p0)), (p1 << 16, p1 >> 16))
-        v = w.add64(v, (jnp.zeros_like(p2), p2 + (p3 << 16)))
-        olo, ohi = MP._barrett_canonical(v, q, q_barr)  # < P*q -> canonical
-        out_lo = olo.reshape(r1, B, n2).transpose(1, 0, 2).reshape(B, r1 * n2)
-        out_hi = ohi.reshape(r1, B, n2).transpose(1, 0, 2).reshape(B, r1 * n2)
-        return out_lo, out_hi
+            p3hi = phi.reshape(Bc, r1, n2).transpose(1, 0, 2).reshape(
+                r1, Bc * n2
+            )
+            a, rowsum = MP._limbs_axis0(p3lo, p3hi, nl)
+            S_list = []
+            for s in range(nl):
+                dot = jax.lax.dot_general(
+                    g2_p[s], a,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                S_list.append(dot + c2_p[s][:, None] + 128 * rowsum)
+            vv = MP._assemble_fold(S_list, c64)
+            clo, chi = MP._barrett_canonical(vv, q, q_barr)  # partial < q
+            planes = [
+                (clo & 0xFFFF).astype(jnp.int32),
+                (clo >> 16).astype(jnp.int32),
+                (chi & 0xFFFF).astype(jnp.int32),
+                (chi >> 16).astype(jnp.int32),
+            ]
+            return [
+                jax.lax.psum_scatter(
+                    pl, axis, scatter_dimension=0, tiled=True
+                )
+                for pl in planes
+            ]  # each (r1, Bc*n2)
+
+        def tail(planes, Bc):
+            p0, p1, p2, p3 = [pl.astype(jnp.uint32) for pl in planes]
+            v = w.add64((p0, jnp.zeros_like(p0)), (p1 << 16, p1 >> 16))
+            v = w.add64(v, (jnp.zeros_like(p2), p2 + (p3 << 16)))
+            olo, ohi = MP._barrett_canonical(v, q, q_barr)  # -> canonical
+            return (
+                olo.reshape(r1, Bc, n2).transpose(1, 0, 2).reshape(
+                    Bc, r1 * n2
+                ),
+                ohi.reshape(r1, Bc, n2).transpose(1, 0, 2).reshape(
+                    Bc, r1 * n2
+                ),
+            )
+
+        C = max(1, min(chunks, B))
+        bounds = [round(c * B / C) for c in range(C + 1)]
+        outs = []
+        for c in range(C):
+            s0, s1 = bounds[c], bounds[c + 1]
+            if s1 == s0:
+                continue
+            outs.append((stages_scatter(lo[s0:s1], hi[s0:s1]), s1 - s0))
+        parts = [tail(planes, Bc) for planes, Bc in outs]
+        if len(parts) == 1:
+            return parts[0]
+        return (
+            jnp.concatenate([p[0] for p in parts]),
+            jnp.concatenate([p[1] for p in parts]),
+        )
 
     kwargs = dict(
         mesh=mesh,
@@ -828,16 +907,30 @@ class ShardedKeySwitch:
         else:
             sig = None
 
-        # Phase 2 per slot: modswitch tail for decomp engines (again switch-
-        # specialized per static modulus).  Each shard emits ONLY its owned
-        # slots, (per_shard, B, 2, n); the out_spec concatenates them over
-        # the limb axis into the global slot-major tensor — engine-sliced
-        # stores like the reference (`keyswitch/store.hpp:10-75`), so the
-        # output combine moves O(owned slices), not a full-tensor psum
-        # (VERDICT r2 'what's weak' #5).
+        return self._phase2_slots(slot_results, e_lo, e_hi, sig,
+                                  res_lo, res_hi, msf4)
+
+    def _phase2_slots(self, slot_results, e_lo, e_hi, sig,
+                      res_lo, res_hi, msf4, galois_ops=None):
+        """Phase 2 per slot: modswitch tail for decomp engines (switch-
+        specialized per static modulus).  Each shard emits ONLY its owned
+        slots, (per_shard, B, 2, n); the out_spec concatenates them over
+        the limb axis into the global slot-major tensor — engine-sliced
+        stores like the reference (`keyswitch/store.hpp:10-75`), so the
+        output combine moves O(owned slices), not a full-tensor psum
+        (VERDICT r2 'what's weak' #5).  galois_ops (hoisted rotations):
+        the deferred output automorphism applied per shard to its OWN slot
+        outputs as MXU matmuls — each engine plane is a full polynomial,
+        so the permutation adds zero collectives."""
+        import jax
+
+        n, K = self.n, self.K
+        me = jax.lax.axis_index(self.limb_axis)
+        B = res_lo.shape[0]
+        zero_bn = lambda: jnp.zeros((B, 2, n), jnp.uint32)
         slot_lo, slot_hi = [], []
         for slot in range(self.per_shard):
-            alo, ahi, _, _, _ = slot_results[slot]
+            alo, ahi = slot_results[slot][0], slot_results[slot][1]
             branches = []
             for p in range(self.P):
                 j = self.engines[p * self.per_shard + slot]
@@ -914,9 +1007,239 @@ class ShardedKeySwitch:
 
                 branches.append(mk())
             r_lo, r_hi = jax.lax.switch(me, branches, (alo, ahi))
+            if galois_ops is not None:
+                # deferred automorphism (hoisted rotations): permute this
+                # shard's own output planes — MXU matmuls, zero collectives
+                # (zeros in special/pad slots permute to zeros)
+                from ..ops import galois_mxu
+
+                r_lo = galois_mxu.apply_galois_mxu(r_lo, *galois_ops)
+                r_hi = galois_mxu.apply_galois_mxu(r_hi, *galois_ops)
             slot_lo.append(r_lo)
             slot_hi.append(r_hi)
         return jnp.stack(slot_lo), jnp.stack(slot_hi)  # (per_shard, B, 2, n)
+
+    # -- hoisted keyswitch over 'mp' (decompose once, apply many) -----------
+    #
+    # The single-chip Halevi-Shoup split (keyswitch_tpu.hoist/run_hoisted)
+    # composed with the engine sharding: each shard computes and HOLDS the
+    # decomposition planes of its own engines (no collectives at hoist
+    # time), and every apply runs {MAC + INTT2-e psum + fused tails +
+    # deferred automorphism} with the identical per-engine math — outputs
+    # are bit-identical to the single-chip run_hoisted (dryrun stage).
+
+    def _local_hoist(self, t_lo, t_hi):
+        """Per-shard hoisted decomposition: INTT1 replicated (the
+        `intt1_forward.hpp:8` broadcast point), then each OWNED slot
+        transforms the stacked (L*B, n) coefficient rows under its engine
+        modulus — slot j's plane of the single-chip _decompose, computed
+        where the MAC will consume it."""
+        import jax
+
+        n, L = self.n, self.L
+        me = jax.lax.axis_index(self.limb_axis)
+        B = t_lo.shape[0]
+        coeff = [
+            self._inv_t((t_lo[:, i, :], t_hi[:, i, :]), i) for i in range(L)
+        ]
+        stack = (jnp.concatenate([c[0] for c in coeff]),
+                 jnp.concatenate([c[1] for c in coeff]))
+        zero = lambda: (jnp.zeros((L * B, n), jnp.uint32),) * 2
+        planes_lo, planes_hi = [], []
+        for slot in range(self.per_shard):
+            branches = []
+            for p in range(self.P):
+                j = self.engines[p * self.per_shard + slot]
+
+                def mk(j=j):
+                    def branch(_):
+                        if j < 0:
+                            return zero()
+                        if self.engine_impl == "mxu":
+                            # wide-input lazy transform (single-chip
+                            # _decompose schedule)
+                            return self._fwd_t(stack, j)
+                        red = w.barrett_reduce64(
+                            stack, self.moduli[j], self.q_barr[j]
+                        )
+                        return self._fwd_t(red, j)
+
+                    return branch
+
+                branches.append(mk())
+            dlo, dhi = jax.lax.switch(me, branches, None)
+            planes_lo.append(dlo)
+            planes_hi.append(dhi)
+        return jnp.stack(planes_lo), jnp.stack(planes_hi)
+
+    def _local_hoisted(self, d_lo, d_hi, res_lo, res_hi,
+                       keys_lo, keys_hi, kp_lo, kp_hi, msf4, *gops):
+        """Per-shard hoisted apply: d is THIS shard's (per_shard, L*B, n)
+        decomposition; the MAC reads it with plain linear access (keys are
+        pre-permuted per sigma), e broadcasts with the same psum as the
+        full path, tails and the deferred automorphism are slot-local."""
+        import jax
+
+        from ..ops.keyswitch_tpu import KeySwitchTpuContext as KS
+
+        n, L, K = self.n, self.L, self.K
+        me = jax.lax.axis_index(self.limb_axis)
+        B = res_lo.shape[0]
+        zero_bn = lambda: jnp.zeros((B, 2, n), jnp.uint32)
+
+        def engine_acc(slot, j):
+            q = self.moduli[j]
+            acc = [None, None]
+            for i in range(L):
+                val = (d_lo[slot, i * B:(i + 1) * B],
+                       d_hi[slot, i * B:(i + 1) * B])
+                for k in range(2):
+                    key = (keys_lo[i, k, j, :], keys_hi[i, k, j, :])
+                    kp = (kp_lo[i, k, j, :], kp_hi[i, k, j, :])
+                    acc[k] = KS._mac_term(acc[k], val, key, kp)
+            return [KS._mac_close(a, q) for a in acc]
+
+        slot_results = []
+        for slot in range(self.per_shard):
+            branches = []
+            for p in range(self.P):
+                j = self.engines[p * self.per_shard + slot]
+
+                def mk(j=j):
+                    def branch(_):
+                        if j < 0:
+                            return (zero_bn(), zero_bn(), zero_bn(),
+                                    zero_bn())
+                        acc = engine_acc(slot, j)
+                        if j == K - 1:
+                            els, ehs = [], []
+                            for k in range(2):
+                                a = w.barrett_reduce64(
+                                    acc[k], self.qk, self.q_barr[K - 1]
+                                )
+                                d = self._inv_t(a, K - 1)
+                                e = w.add_mod(d, self.qk_half, self.qk)
+                                els.append(e[0])
+                                ehs.append(e[1])
+                            return (zero_bn(), zero_bn(),
+                                    jnp.stack(els, 1), jnp.stack(ehs, 1))
+                        alo = jnp.stack([acc[0][0], acc[1][0]], 1)
+                        ahi = jnp.stack([acc[0][1], acc[1][1]], 1)
+                        return (alo, ahi, zero_bn(), zero_bn())
+
+                    return branch
+
+                branches.append(mk())
+            slot_results.append(jax.lax.switch(me, branches, None))
+
+        e_lo = jax.lax.psum(sum(r[2] for r in slot_results), self.limb_axis)
+        e_hi = jax.lax.psum(sum(r[3] for r in slot_results), self.limb_axis)
+        if self.plain_modulus is not None:
+            t = self.plain_modulus
+            e_t = w.barrett_reduce64((e_lo, e_hi), t, self.t_barr)
+            x = w.cond_sub64(
+                w.add64(w.sub64(w.const_pair(self.qk_half % t), e_t), t), t,
+            )
+            u = w.mul_mod_static(x, self.inv_qk_t, t)
+            sig = w.add_mod(u, self.t_half, t)
+        else:
+            sig = None
+        return self._phase2_slots(slot_results, e_lo, e_hi, sig,
+                                  res_lo, res_hi, msf4,
+                                  galois_ops=gops if gops else None)
+
+    def hoist(self, t_targets):
+        """Decompose (B, L*n) u64 targets once; returns the slot-sharded
+        device plane pair ((P*per_shard, L*B, n) x2, slot-major over the
+        limb axis) for reuse across run_hoisted calls."""
+        ax, bx = self.limb_axis, self.batch_axis
+        bspec = bx if bx else None
+        if not hasattr(self, "_hoist_fn"):
+            kwargs = dict(
+                mesh=self.mesh,
+                in_specs=(P(bspec, None, None), P(bspec, None, None)),
+                out_specs=(P(ax, bspec, None), P(ax, bspec, None)),
+            )
+            try:
+                fn = shard_map(self._local_hoist, check_vma=False, **kwargs)
+            except TypeError:
+                fn = shard_map(self._local_hoist, check_rep=False, **kwargs)
+            self._hoist_fn = jax.jit(fn)
+        B = np.asarray(t_targets).shape[0]
+        t = w.to_pair_np(
+            np.asarray(t_targets, dtype=np.uint64).reshape(B, self.L, self.n)
+        )
+        return self._hoist_fn(jnp.asarray(t[0]), jnp.asarray(t[1]))
+
+    def run_hoisted(self, dec, results, k_switch_keys, modswitch_factors,
+                    galois: int | None = None):
+        """Apply a keyswitch from a sharded hoisted decomposition,
+        accumulating into results ((B, 2*L*n) u64).  galois (odd int mod
+        2n) runs the deferred-automorphism rotation: keys stage
+        sigma^{-1}-pre-permuted, each shard permutes only its own output
+        planes as MXU matmuls.  Bit-identical to the single-chip
+        keyswitch_tpu.run_hoisted (dryrun-validated)."""
+        from ..ops import galois_mxu
+
+        ax, bx = self.limb_axis, self.batch_axis
+        bspec = bx if bx else None
+        gops = None
+        sigma = None
+        if galois is not None:
+            sigma = galois_mxu.ntt_galois_sigma(self.n, int(galois))
+            gops = galois_mxu.stage_operands(
+                galois_mxu.build_galois_operands(self.n, int(galois))
+            )
+        mode = "galois" if gops is not None else "plain"
+        if not hasattr(self, "_hoisted_fns"):
+            self._hoisted_fns = {}
+        if mode not in self._hoisted_fns:
+            rep4 = P(None, None, None, None)
+            in_specs = (
+                P(ax, bspec, None), P(ax, bspec, None),
+                P(bspec, None, None, None), P(bspec, None, None, None),
+                rep4, rep4, rep4, rep4, P(None, None),
+            )
+            if mode == "galois":
+                in_specs = in_specs + (P(None, None), P(None, None, None))
+            kwargs = dict(
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=(P(ax, bspec, None, None),
+                           P(ax, bspec, None, None)),
+            )
+            try:
+                fn = shard_map(self._local_hoisted, check_vma=False,
+                               **kwargs)
+            except TypeError:
+                fn = shard_map(self._local_hoisted, check_rep=False,
+                               **kwargs)
+            L = self.L
+
+            def full(dlo, dhi, r_lo, r_hi, a, b, c, d, m4, *g2):
+                s_lo, s_hi = fn(dlo, dhi, r_lo, r_hi, a, b, c, d, m4, *g2)
+                return (jnp.moveaxis(s_lo[:L], 0, 2),
+                        jnp.moveaxis(s_hi[:L], 0, 2))
+
+            self._hoisted_fns[mode] = jax.jit(full)
+        B = results.shape[0]
+        r = w.to_pair_np(
+            np.asarray(results, dtype=np.uint64).reshape(
+                B, 2, self.L, self.n
+            )
+        )
+        klo, khi, kplo, kphi = self._staged_keys(
+            k_switch_keys, hoist_perm=sigma
+        )
+        msf4 = jnp.asarray(self.prepare_msf4(modswitch_factors))
+        args = (dec[0], dec[1], jnp.asarray(r[0]), jnp.asarray(r[1]),
+                klo, khi, kplo, kphi, msf4)
+        if mode == "galois":
+            args = args + tuple(gops)
+        olo, ohi = self._hoisted_fns[mode](*args)
+        return w.from_pair_np(np.asarray(olo), np.asarray(ohi)).reshape(
+            B, -1
+        )
 
     def compile(self):
         ax = self.limb_axis
@@ -966,27 +1289,54 @@ class ShardedKeySwitch:
             "full_tensor_psum_bytes": 0,  # eliminated (was L * plane * P)
         }
 
-    def _staged_keys(self, k_switch_keys):
+    def _staged_keys(self, k_switch_keys, hoist_perm=None):
         """Upload-once device key + Harvey-precon cache for the sharded path
-        (the analog of the single-chip context's device_keys)."""
-        if not hasattr(self, "_key_cache"):
-            from ..utils.keycache import PinnedKeyCache
+        (the analog of the single-chip context's device_keys).
 
-            def stage(src):
-                keys = np.stack(
-                    [a.reshape(2, self.K, self.n) for a in src]
+        hoist_perm (a concrete (n,) NTT-domain Galois sigma) stages the keys
+        PRE-PERMUTED by sigma^{-1} — the deferred-automorphism scheme of the
+        single-chip hoisted apply (keyswitch_tpu.device_keys), per-sigma
+        cached."""
+        from ..utils.keycache import PinnedKeyCache
+
+        def stage(src, inv=None):
+            keys = np.stack(
+                [np.asarray(a).reshape(2, self.K, self.n) for a in src]
+            )
+            if inv is not None:
+                keys = np.ascontiguousarray(keys[..., inv])
+            prec = np.zeros_like(keys)
+            for j in range(self.K):
+                prec[:, :, j, :] = w.precon64_np(
+                    keys[:, :, j, :], self.moduli[j]
                 )
-                prec = np.zeros_like(keys)
-                for j in range(self.K):
-                    prec[:, :, j, :] = w.precon64_np(
-                        keys[:, :, j, :], self.moduli[j]
-                    )
-                klo, khi = w.to_pair_np(keys)
-                plo, phi = w.to_pair_np(prec)
-                return tuple(jnp.asarray(x) for x in (klo, khi, plo, phi))
+            klo, khi = w.to_pair_np(keys)
+            plo, phi = w.to_pair_np(prec)
+            return tuple(jnp.asarray(x) for x in (klo, khi, plo, phi))
 
-            self._key_cache = PinnedKeyCache(8, stage)
-        return self._key_cache.get(k_switch_keys)
+        if hoist_perm is None:
+            if not hasattr(self, "_key_cache"):
+                self._key_cache = PinnedKeyCache(8, stage)
+            return self._key_cache.get(k_switch_keys)
+        import hashlib
+
+        p = np.asarray(hoist_perm, dtype=np.int64).reshape(self.n)
+        pid = hashlib.blake2b(p.tobytes(), digest_size=16).digest()
+        if not hasattr(self, "_key_cache_perm"):
+            from collections import OrderedDict
+
+            self._key_cache_perm = OrderedDict()
+        cache = self._key_cache_perm.get(pid)
+        if cache is None:
+            inv = np.empty_like(p)
+            inv[p] = np.arange(self.n, dtype=np.int64)
+            cache = PinnedKeyCache(2, functools.partial(stage, inv=inv))
+            self._key_cache_perm[pid] = cache
+            while len(self._key_cache_perm) > 32:
+                self._key_cache_perm.popitem(last=False)
+        else:
+            self._key_cache_perm.move_to_end(pid)
+        return cache.get(k_switch_keys)
 
     def prepare_msf4(self, modswitch_factors) -> np.ndarray:
         """(K, 4) uint32 [msf_lo, msf_hi, precon_lo, precon_hi] rows (same

@@ -37,6 +37,7 @@ def main():
             (1024, 5, 7, 1, False),
             (8192, 5, 7, 1, True),
             (8192, 6, 7, 1, True),
+            (16384, 5, 7, 1, True),
             (16384, 6, 7, 1, True),
         ]
     else:

@@ -45,6 +45,27 @@ from hexl_fpga_tpu.utils.cache import enable_compile_cache  # noqa: E402
 enable_compile_cache(os.path.dirname(os.path.dirname(__file__)))
 
 
+# Smoke tier (HEXL_TPU_SMOKE_TESTS=1): the host-math + runtime + one-config
+# keyswitch subset that genuinely runs in minutes on a 1-core box (measured
+# time in README).  Everything interpret-mode-Pallas-heavy stays in the
+# default (fast) tier; the heavy marker gates big shapes / full sweeps.
+SMOKE_FILES = {
+    "test_golden.py",
+    "test_nt.py",
+    "test_word64.py",
+    "test_api.py",
+    "test_scheduler.py",
+    "test_scheduler_release.py",
+    "test_validation.py",
+    "test_wirepack.py",
+    "test_keyswitch_golden.py",
+    "test_keyswitch_vectors.py",
+    "test_galois_mxu.py",
+    "test_rns_behz.py",
+    "test_timing.py",
+}
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
@@ -55,6 +76,14 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
+    if os.environ.get("HEXL_TPU_SMOKE_TESTS") == "1":
+        skip_smoke = pytest.mark.skip(
+            reason="smoke tier runs only the host-math/runtime subset "
+            "(unset HEXL_TPU_SMOKE_TESTS for the full fast tier)"
+        )
+        for item in items:
+            if os.path.basename(str(item.fspath)) not in SMOKE_FILES:
+                item.add_marker(skip_smoke)
     if os.environ.get("HEXL_TPU_HEAVY_TESTS") == "1":
         return
     skip = pytest.mark.skip(

@@ -59,15 +59,20 @@ def test_golden_matches_vectors(vecs):
         np.testing.assert_array_equal(got, vec.expected_output)
 
 
-def test_flagship_vector_loads_and_schema_checks():
-    """The committed 16384_6_7_7_2 flagship vector must always load with a
-    consistent schema in the fast tier (its full compute runs in bench.py,
-    the dryrun, and the heavy tier — too slow for a 1-core fast run)."""
-    files = glob.glob(os.path.join(DEFAULT_DATA_DIR, "16384_6_7_7_2_*.json*"))
-    assert files, "flagship 16384_6_7_7_2 vector missing from tests/testdata/"
+@pytest.mark.parametrize(
+    "config,want_L,want_K",
+    [("16384_6_7_7_2", 6, 7), ("16384_5_7_6_2", 5, 7)],
+)
+def test_flagship_vector_loads_and_schema_checks(config, want_L, want_K):
+    """BOTH recorded 16384 configs (the reference's full recorded matrix,
+    `tests/micro_keyswitch.sh:20-34`) must always load with a consistent
+    schema in the fast tier (their full compute runs in bench.py, the
+    dryrun, and the HW tier — too slow for a 1-core fast run)."""
+    files = glob.glob(os.path.join(DEFAULT_DATA_DIR, f"{config}_*.json*"))
+    assert files, f"frozen {config} vector missing from tests/testdata/"
     vec = vectors.load_json(sorted(files)[0])
     n, L, K = vec.coeff_count, vec.decomp_modulus_size, vec.key_modulus_size
-    assert (n, L, K) == (16384, 6, 7)
+    assert (n, L, K) == (16384, want_L, want_K)
     assert vec.rns_modulus_size == L + 1
     assert vec.key_component_count == 2
     assert len(vec.moduli) == K

@@ -69,12 +69,16 @@ def test_dist_inv_ntt(devices, n_shards):
 
 
 @pytest.mark.parametrize("n_shards", [2, pytest.param(8, marks=pytest.mark.heavy)])
-def test_dist_fwd_ntt_mxu(devices, n_shards):
-    """MXU-tier coefficient-sharded NTT (four-step + reduce_scatter of the
-    exact 16-bit partial planes): bit-exact vs golden."""
+@pytest.mark.parametrize("chunks", [1, 4])
+def test_dist_fwd_ntt_mxu(devices, n_shards, chunks):
+    """MXU-tier coefficient-sharded NTT (four-step + per-chunk
+    reduce_scatters of the exact 16-bit partial planes): bit-exact vs
+    golden for any batch chunking (chunks only partition the batch; the
+    chunked form exists so collectives overlap the next chunk's
+    matmuls)."""
     n, q = 1024, int(nt.generate_primes(1, 51, 1024)[0])
     mesh = Mesh(np.array(devices[:n_shards]), ("sp",))
-    fn = sharded.dist_fwd_ntt_mxu(mesh, "sp", n, q)
+    fn = sharded.dist_fwd_ntt_mxu(mesh, "sp", n, q, chunks=chunks)
     rng = np.random.default_rng(10 + n_shards)
     a = rng.integers(0, q, size=(3, n), dtype=np.uint64)
     lo, hi = w.to_pair_np(a)
@@ -226,6 +230,75 @@ def test_limb_sharded_keyswitch_bgv_mxu_engines(devices):
     got = ks.run(rs, ts, vec.key_vectors, vec.modswitch_factors)
     for b in range(B):
         np.testing.assert_array_equal(got[b], vec.expected_output)
+
+
+def test_sharded_hoisted_keyswitch(devices):
+    """Sharded hoisting (decompose once over 'mp', apply many): the plain
+    apply is bit-exact vs the recorded vector, and the deferred-automorphism
+    rotation equals {full run with sigma^{-1}-permuted keys} permuted by
+    sigma — the same identity the single-chip run_hoisted ships."""
+    from hexl_fpga_tpu.ops import galois_mxu
+
+    n, L, K = 64, 3, 4
+    vec = vectors.make_keyswitch_vector(n, L, K, seed=7, modulus_bits=40)
+    mesh = Mesh(np.array(devices[:2]), ("mp",))
+    ks = sharded.ShardedKeySwitch(mesh, "mp", None, n, L, K, vec.moduli)
+    B = 2
+    ts = np.stack([vec.t_target_iter_ptr] * B)
+    rs = np.stack([vec.input] * B)
+    dec = ks.hoist(ts)
+    got = ks.run_hoisted(dec, rs, vec.key_vectors, vec.modswitch_factors)
+    for b in range(B):
+        np.testing.assert_array_equal(got[b], vec.expected_output)
+    # rotation: out == sigma(run(rs, ts, sigma^{-1}-permuted keys))
+    g = pow(5, 3, 2 * n)
+    sigma = galois_mxu.ntt_galois_sigma(n, g)
+    inv = np.empty_like(sigma)
+    inv[sigma] = np.arange(n)
+    keys_perm = [
+        np.ascontiguousarray(
+            np.asarray(kv, np.uint64).reshape(2, K, n)[..., inv]
+        ).reshape(-1)
+        for kv in vec.key_vectors
+    ]
+    full = ks.run(rs, ts, keys_perm, vec.modswitch_factors)
+    want = full.reshape(B, 2, L, n)[..., sigma].reshape(B, -1)
+    got_g = ks.run_hoisted(
+        dec, rs, vec.key_vectors, vec.modswitch_factors, galois=g
+    )
+    np.testing.assert_array_equal(got_g, want)
+
+
+@pytest.mark.heavy
+def test_sharded_hoisted_keyswitch_mxu(devices):
+    """Sharded hoisting on the fused-MXU production kernels, cross-validated
+    bit-exact against the SINGLE-CHIP run_hoisted (the dryrun stage's
+    check, in miniature)."""
+    from hexl_fpga_tpu.ops import keyswitch_tpu
+
+    n, L, K = 1024, 2, 3
+    vec = vectors.make_keyswitch_vector(n, L, K, seed=7, modulus_bits=45)
+    mesh = Mesh(np.array(devices[:2]), ("mp",))
+    ks = sharded.ShardedKeySwitch(
+        mesh, "mp", None, n, L, K, vec.moduli, engine_impl="mxu", tile_p=2
+    )
+    B = 2
+    ts = np.stack([vec.t_target_iter_ptr] * B)
+    rs = np.stack([vec.input] * B)
+    g = pow(5, 5, 2 * n)
+    dec = ks.hoist(ts)
+    got = ks.run_hoisted(
+        dec, rs, vec.key_vectors, vec.modswitch_factors, galois=g
+    )
+    ctx = keyswitch_tpu.get_context(
+        n, L, K, L + 1, 2, vec.moduli, vec.twiddle_factors,
+        tile_p=2, interpret=True,
+    )
+    dec1 = ctx.hoist(ts)
+    want = ctx.run_hoisted(
+        dec1, rs, vec.key_vectors, vec.modswitch_factors, galois=g
+    ).to_host()
+    np.testing.assert_array_equal(got, want)
 
 
 def test_scaling_projection_model():

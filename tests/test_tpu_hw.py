@@ -48,6 +48,32 @@ def test_keyswitch_benchmark_config_hw():
     np.testing.assert_array_equal(got, vec.expected_output)
 
 
+@pytest.mark.parametrize("config", ["16384_6_7_7_2", "16384_5_7_6_2"])
+def test_recorded_16384_configs_hw(config):
+    """Both recorded 16384 configs (the reference's full recorded matrix,
+    `tests/micro_keyswitch.sh:20-34`) through the production TPU path,
+    bit-exact vs the frozen committed vectors."""
+    import glob
+
+    from hexl_fpga_tpu.ops import keyswitch_tpu
+    from hexl_fpga_tpu.utils import vectors
+
+    data = os.path.join(os.path.dirname(__file__), "testdata")
+    files = sorted(glob.glob(os.path.join(data, f"{config}_*.json*")))
+    assert files, f"frozen {config} vector missing from tests/testdata/"
+    vec = vectors.load_json(files[0])
+    ctx = keyswitch_tpu.get_context(
+        vec.coeff_count, vec.decomp_modulus_size, vec.key_modulus_size,
+        vec.rns_modulus_size, vec.key_component_count, vec.moduli,
+        vec.twiddle_factors,
+    )
+    got = ctx.run(
+        vec.input, vec.t_target_iter_ptr, vec.key_vectors,
+        vec.modswitch_factors,
+    )
+    np.testing.assert_array_equal(got, vec.expected_output)
+
+
 def test_fuzz_random_configs_hw():
     """Randomized config fuzz on hardware: the TPU keyswitch across random
     (n, L, K, prime widths) must match the golden model bit for bit."""
