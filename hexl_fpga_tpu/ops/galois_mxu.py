@@ -156,18 +156,28 @@ def _apply_index(ops: GaloisOperands, x: np.ndarray) -> np.ndarray:
 
 
 def stage_operands(ops: GaloisOperands):
-    """Host numpy -> device jnp arrays (call once per sigma, cache)."""
+    """Host numpy -> device jnp arrays (call once per sigma, cache).
+
+    Staged in bfloat16: every value is 0.0 or 1.0 (exact), and the limb
+    operands are integers < 256 — within bf16's 8 significand bits — so the
+    one-hot dot products stay exact while the matmuls take the full-rate
+    bf16 MXU path at half the f32 HBM bytes (same-process A/B on a v5e:
+    +5% on the whole hoisted apply, `scripts/probe_r5_galois_dtype.py`;
+    int8-with-offset measured slower — the extra offset/cast lane work
+    outweighs the 2x int8 MXU rate)."""
     import jax.numpy as jnp
 
-    return jnp.asarray(ops.C), jnp.asarray(ops.M)
+    return (jnp.asarray(ops.C, dtype=jnp.bfloat16),
+            jnp.asarray(ops.M, dtype=jnp.bfloat16))
 
 
 def apply_galois_mxu(x, C, M):
     """Permute a uint32 plane (..., n) by the staged Galois operands.
 
-    Exact: four u8 limbs — stacked on a leading batch axis so the chain is
-    ONE pair of einsums — ride f32 one-hot matmuls (single-term dot
-    products, precision-independent)."""
+    Exact in any float dtype with >= 8 significand bits (bf16 staged, f32
+    accepted): four u8 limbs — stacked on a leading batch axis so the
+    chain is ONE pair of einsums — ride one-hot matmuls whose dot products
+    each have a single nonzero term (a 1.0 times an integer < 256)."""
     import jax.numpy as jnp
 
     n2 = C.shape[0]
@@ -175,7 +185,7 @@ def apply_galois_mxu(x, C, M):
     shp = x.shape
     x2 = x.reshape(shp[:-1] + (n2, n1))
     limbs = jnp.stack(
-        [((x2 >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.float32)
+        [((x2 >> (8 * k)) & jnp.uint32(0xFF)).astype(C.dtype)
          for k in range(4)]
     )  # (4, ..., n2, n1)
     G = jnp.einsum("pc,k...cm->k...pm", C, limbs)
