@@ -496,7 +496,10 @@ def bench_bfv_multiply(extras):
 
     n = int(os.environ.get("BENCH_BFV_N", 16384))
     k = int(os.environ.get("BENCH_BFV_K", 6))
-    B = int(os.environ.get("BENCH_BFV_BATCH", 2))
+    # B=8 is the measured throughput knee on a v5e (probe_r5_bfv_batch.py:
+    # 828/990/1100/1264/1167 op/s at B=1/2/4/8/16 — the per-modulus NTT
+    # dispatches amortize up to B=8, beyond which VMEM pressure bites)
+    B = int(os.environ.get("BENCH_BFV_BATCH", 8))
     t = 65537
     q = [int(p) for p in nt.generate_primes(k, 51, n)]
     tool = rns_behz.BehzTool(n, q, t)

@@ -158,37 +158,47 @@ def _apply_index(ops: GaloisOperands, x: np.ndarray) -> np.ndarray:
 def stage_operands(ops: GaloisOperands):
     """Host numpy -> device jnp arrays (call once per sigma, cache).
 
-    Staged in bfloat16: every value is 0.0 or 1.0 (exact), and the limb
-    operands are integers < 256 — within bf16's 8 significand bits — so the
-    one-hot dot products stay exact while the matmuls take the full-rate
-    bf16 MXU path at half the f32 HBM bytes (same-process A/B on a v5e:
-    +5% on the whole hoisted apply, `scripts/probe_r5_galois_dtype.py`;
-    int8-with-offset measured slower — the extra offset/cast lane work
-    outweighs the 2x int8 MXU rate)."""
+    The C stage is a pure permutation of n2 ROWS — each a full 128-lane
+    vector — so it stages as an int32 index vector and applies as a
+    row-axis take (second-minor-axis gathers are cheap on TPU; only LANE
+    gathers are the ~8.7 ms trap this module exists to avoid).  M stages
+    in bfloat16: every value is 0.0 or 1.0 (exact) and the limb operands
+    are integers < 256 — within bf16's 8 significand bits — so the
+    one-hot dot products stay exact on the full-rate bf16 MXU path.
+    Same-process A/B on a v5e (`scripts/probe_r5_galois_dtype.py`):
+    row-take + one bf16 einsum > two bf16 einsums > two f32 einsums
+    (~+2% / ~+5% on the whole hoisted apply); int8-with-offset measured
+    slower (the offset/cast lane work outweighs the 2x int8 MXU rate),
+    and u16-limbs-in-f32 is NOT exact (XLA's default f32 dot runs bf16
+    passes — only values < 256 survive any matmul precision)."""
     import jax.numpy as jnp
 
-    return (jnp.asarray(ops.C, dtype=jnp.bfloat16),
+    c_idx = np.argmax(ops.C, axis=1).astype(np.int32)
+    return (jnp.asarray(c_idx),
             jnp.asarray(ops.M, dtype=jnp.bfloat16))
 
 
 def apply_galois_mxu(x, C, M):
     """Permute a uint32 plane (..., n) by the staged Galois operands.
 
-    Exact in any float dtype with >= 8 significand bits (bf16 staged, f32
-    accepted): four u8 limbs — stacked on a leading batch axis so the
-    chain is ONE pair of einsums — ride one-hot matmuls whose dot products
-    each have a single nonzero term (a 1.0 times an integer < 256)."""
+    C: (n2,) int32 source-row indices (stage_operands) or an (n2, n2)
+    one-hot matrix (applied as a row take either way).  M: (n2, n1, n1)
+    one-hot per-row lane permutation, applied as ONE einsum over four u8
+    limbs stacked on a leading batch axis — exact in any float dtype with
+    >= 8 significand bits (each dot product has a single nonzero term,
+    a 1.0 times an integer < 256)."""
     import jax.numpy as jnp
 
-    n2 = C.shape[0]
     n1 = M.shape[1]
+    c_idx = C if C.ndim == 1 else jnp.argmax(C, axis=1)
+    n2 = c_idx.shape[0]
     shp = x.shape
     x2 = x.reshape(shp[:-1] + (n2, n1))
+    g2 = jnp.take(x2, c_idx, axis=-2)
     limbs = jnp.stack(
-        [((x2 >> (8 * k)) & jnp.uint32(0xFF)).astype(C.dtype)
+        [((g2 >> (8 * k)) & jnp.uint32(0xFF)).astype(M.dtype)
          for k in range(4)]
     )  # (4, ..., n2, n1)
-    G = jnp.einsum("pc,k...cm->k...pm", C, limbs)
-    O = jnp.einsum("prm,k...pm->k...pr", M, G).astype(jnp.uint32)
+    O = jnp.einsum("prm,k...pm->k...pr", M, limbs).astype(jnp.uint32)
     out = O[0] | (O[1] << 8) | (O[2] << 16) | (O[3] << 24)
     return out.reshape(shp)

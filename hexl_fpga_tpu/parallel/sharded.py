@@ -1201,7 +1201,9 @@ class ShardedKeySwitch:
                 rep4, rep4, rep4, rep4, P(None, None),
             )
             if mode == "galois":
-                in_specs = in_specs + (P(None, None), P(None, None, None))
+                # (n2,) int32 row-index + (n2, n1, n1) bf16 lane-perm
+                # operands (galois_mxu.stage_operands), replicated
+                in_specs = in_specs + (P(None), P(None, None, None))
             kwargs = dict(
                 mesh=self.mesh,
                 in_specs=in_specs,

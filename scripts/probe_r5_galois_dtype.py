@@ -69,6 +69,30 @@ def apply_variant(x, C, M, mode):
         O = jnp.einsum("prm,k...pm->k...pr", Mi, G,
                        preferred_element_type=jnp.int32)
         O = (O + 128).astype(jnp.uint32)
+    elif mode == "rowC":
+        # C is a pure permutation of n2 ROWS (each a full 128-lane vector):
+        # take along the sublane axis with a STATIC index — no matmul, no
+        # limb inflation for that stage — then only M runs as bf16 matmuls.
+        c_idx = jnp.argmax(C.astype(jnp.float32), axis=1)
+        g2 = jnp.take(x2, c_idx, axis=-2)
+        limbs = jnp.stack(
+            [((g2 >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+             for k in range(4)]
+        )
+        Mb = M.astype(jnp.bfloat16)
+        O = jnp.einsum("prm,k...pm->k...pr", Mb, limbs).astype(jnp.uint32)
+    elif mode == "u16":
+        # TWO u16 limb planes in f32 (< 2^16 is exact in f32's 24-bit
+        # significand): half the matmul count of the u8 modes, f32 MXU rate
+        limbs = jnp.stack(
+            [((x2 >> (16 * k)) & jnp.uint32(0xFFFF)).astype(jnp.float32)
+             for k in range(2)]
+        )
+        Cf, Mf = C.astype(jnp.float32), M.astype(jnp.float32)
+        G = jnp.einsum("pc,k...cm->k...pm", Cf, limbs)
+        O = jnp.einsum("prm,k...pm->k...pr", Mf, G).astype(jnp.uint32)
+        out = O[0] | (O[1] << 16)
+        return out.reshape(shp)
     else:
         raise ValueError(mode)
     out = O[0] | (O[1] << 8) | (O[2] << 16) | (O[3] << 24)
@@ -109,7 +133,9 @@ def main():
         rng.integers(0, 1 << 32, size=(4, 2, n), dtype=np.uint64
                      ).astype(np.uint32))
     base = np.asarray(apply_variant(x, cS[0], mS[0], "f32"))
-    for mode in ("bf16", "int8"):
+    # u16-in-f32 is NOT exact on TPU: XLA's default f32 dot runs bf16
+    # passes, so only values < 256 survive any precision (measured).
+    for mode in ("bf16", "int8", "rowC"):
         got = np.asarray(jax.jit(
             lambda a, b, c: apply_variant(a, b, c, mode))(x, cS[0], mS[0]))
         assert np.array_equal(base, got), f"{mode} NOT exact"
@@ -133,7 +159,8 @@ def main():
 
     args0 = (jnp.int32(0), jnp.asarray(r[0]), jnp.asarray(r[1]),
              dec.dlo, dec.dhi, *kstack, cS, mS, msf4)
-    modes = ("f32", "bf16", "int8")
+    modes = tuple(
+        os.environ.get("PROBE_MODES", "bf16,rowC,u16").split(","))
     rates = {m: [] for m in modes}
     for rnd in range(3):
         for mode in modes:
