@@ -545,6 +545,60 @@ def bench_bfv_multiply(extras):
         f"batch {B})")
 
 
+def bench_ckks_matvec(extras):
+    """Workload-level: an encrypted 16-diagonal BSGS matrix-vector product
+    (the dominant kernel of encrypted inference / CKKS bootstrapping's
+    CoeffToSlot) compiled to ONE device program
+    (DeviceCkksEvaluator.linear_transform_fused — 4 hoisted baby
+    rotations from one decomposition + per-diagonal plaintext MACs + 3
+    giant-step keyswitches).  Verified by decryption against the host
+    matvec, then a dependent-chain rate.  Beyond reference capability:
+    the reference accelerates single KeySwitch dispatches with no
+    rotation- or workload-level composition."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hexl_fpga_tpu.integrations import ckks
+    from hexl_fpga_tpu.ops import nt
+    from hexl_fpga_tpu.utils.retry import call_with_retry
+    from hexl_fpga_tpu.utils.timing import chain_timer
+
+    n = int(os.environ.get("BENCH_MATVEC_N", 16384))
+    n_diag = int(os.environ.get("BENCH_MATVEC_DIAGS", 16))
+    n1 = int(os.environ.get("BENCH_MATVEC_N1", 4))
+    moduli = nt.generate_primes(4, 45, n)  # 3 decomp + special
+    ctx = ckks.CkksContext(n, moduli, scale=2.0**45, seed=11)
+    ev = ckks.DeviceCkksEvaluator(ctx)
+    rng = np.random.default_rng(11)
+    z = rng.standard_normal(ctx.slots) * 0.5
+    diags = {
+        d: rng.standard_normal(ctx.slots) * 0.5 for d in range(n_diag)
+    }
+    want = sum(diags[d] * np.roll(z, -d) for d in diags)
+    h = ev.stage(ctx.encrypt(z))
+    t0 = time.time()
+    out, fn, rest = call_with_retry(
+        lambda: ev.linear_transform_fused(
+            h, diags, bsgs_n1=n1, return_program=True
+        )
+    )
+    log(f"[matvec] compile+first run: {time.time()-t0:.1f}s "
+        f"(n={n}, {n_diag} diagonals, BSGS n1={n1}, ONE program)")
+    back = ctx.decrypt(ev.to_host(out))
+    err = float(np.max(np.abs(back - want)))
+    log(f"[matvec] decrypt vs host matvec: max |err| = {err:.2e}")
+    assert err < 1e-2, err
+
+    def step(d32, *r):
+        return (fn(d32, *r),) + r
+
+    dt = chain_timer(step, (h.data32,) + rest, i1=2, i2=8)
+    extras["ckks_matvec_fused_op_per_s"] = round(1.0 / dt, 1)
+    extras["ckks_matvec_shape"] = f"{n}x{n_diag}diag_bsgs{n1}"
+    log(f"[matvec] fused BSGS matvec {1.0/dt:.1f} op/s "
+        f"({dt*1e3:.2f} ms/op, one dispatch per matvec)")
+
+
 def bench_dyadic_sweep(extras):
     """Dyadic multiply across the reference's supported N range (README
     1024..32768, `benchmark/bench_dyadic_multiply.cpp` sweeps worksize):
@@ -620,6 +674,11 @@ def main():
                 bench_bfv_multiply(extras)
             except Exception as exc:  # pragma: no cover
                 log(f"bfv bench failed: {type(exc).__name__}: {exc}")
+        if os.environ.get("BENCH_NO_MATVEC") != "1":
+            try:
+                bench_ckks_matvec(extras)
+            except Exception as exc:  # pragma: no cover
+                log(f"matvec bench failed: {type(exc).__name__}: {exc}")
 
     record = {
         "metric": "fwd_ntt_16384_throughput",

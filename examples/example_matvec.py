@@ -15,6 +15,10 @@ Run on TPU (or CPU with interpret mode, slower):
     python examples/example_matvec.py
 """
 
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 import numpy as np
 
 from hexl_fpga_tpu import api
@@ -45,6 +49,14 @@ def main():
     print(f"matvec over {len(bands)} diagonals (BSGS n1=16, hoisted): "
           f"max |err| = {err:.2e}")
     assert err < 1e-2
+
+    # the same computation compiled to ONE device program (bit-identical
+    # to the composition above; the production shape — one dispatch per
+    # matvec instead of one per primitive)
+    fused = ev.rescale(ev.linear_transform_fused(h, diags, bsgs_n1=16))
+    err_f = np.max(np.abs(ctx.decrypt(ev.to_host(fused)) - want))
+    print(f"fused one-program matvec: max |err| = {err_f:.2e}")
+    assert err_f < 1e-2
     api.release_FPGA_resources()
     print("OK")
 

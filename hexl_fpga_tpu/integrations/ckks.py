@@ -988,12 +988,13 @@ def _evaluator_rotate_many(self, h: DeviceCkksCiphertext, steps,
     # BSGS sweep costs ceil(S/chunk) dispatches instead of S
     keyset_bytes = 4 * 4 * ks.L * ks.comp * ks.K * ks.n
     if use_mxu:
-        # the stacked composed-permutation tensors add 4 * n2 * n1^2
-        # bytes per step (galois_mxu._view_shape: n1 * n2 == n)
+        # the stacked composed lane-permutation tensors add
+        # 2 * n2 * n1^2 bytes per step (bf16 M; the row-index vector is
+        # negligible — galois_mxu.stage_operands, _view_shape: n1*n2 == n)
         from ..ops.galois_mxu import _view_shape
 
         n1, n2 = _view_shape(ks.n)
-        keyset_bytes += 4 * n2 * n1 * n1
+        keyset_bytes += 2 * n2 * n1 * n1
     max_mb = int(os.environ.get("HEXL_TPU_ROT_MANY_MAX_MB", "256"))
     chunk = max(1, (max_mb << 20) // keyset_bytes)
     by_step = {}
@@ -1080,4 +1081,208 @@ def _evaluator_linear_transform(self, h: DeviceCkksCiphertext, diagonals,
     return out
 
 
+def _evaluator_linear_transform_fused(self, h: DeviceCkksCiphertext,
+                                      diagonals, bsgs_n1: int | None = None,
+                                      return_program: bool = False):
+    """linear_transform compiled to ONE device program.
+
+    Same BSGS diagonal-method math as linear_transform (bit-identical
+    output — tested), but the whole computation — hoisted decomposition,
+    the baby-rotation scan, per-diagonal plaintext multiplies, group sums,
+    giant-step rotations, final accumulation — traces into a single jit,
+    so an encrypted matrix-vector product is ONE device dispatch instead
+    of ~(#groups * #diagonals) of them.  This is the production shape for
+    the dominant kernel of encrypted inference / bootstrapping's
+    CoeffToSlot: on a dispatch-latency-bound host (PCIe or this tunnel)
+    the unfused path pays a round trip per primitive.
+
+    One program per (level, n1, diagonal-index structure); the diagonal
+    VALUES are traced inputs, so reusing the same banding pattern (the
+    common case: a fixed model matrix) costs no recompiles.  Giant-step
+    Galois keys are baked per structure; memory for the baby scan is
+    4 x (#baby, L, comp, K, n) u32 — bound #baby (= bsgs_n1) accordingly.
+
+    Reference anchor: the reference accelerates single KeySwitch calls
+    only (`host/src/fpga.cpp`); it has no rotation- or workload-level
+    composition to fuse across."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import galois_mxu, word64 as w
+
+    slots = self.ctx.slots
+    n = self.ctx.n
+    diags = {d % slots: np.asarray(v) for d, v in diagonals.items()}
+    assert diags, "linear_transform requires at least one diagonal"
+    assert all(v.shape == (slots,) for v in diags.values())
+    n1 = bsgs_n1 or max(1, int(round(math.sqrt(len(diags)))))
+    groups: "dict[int, list[int]]" = {}
+    for d in sorted(diags):
+        groups.setdefault(d // n1, []).append(d)
+    group_list = sorted(groups.items())
+    baby_rot = sorted({d % n1 for d in diags} - {0})
+    giant_rot = [j for j, _ in group_list if j]
+
+    nl = h.level + 1
+    ks = self._ks_ctx(nl)
+    moduli = self.ctx.moduli
+    msf4 = jnp.asarray(ks.prepare_msf4(self.ctx.modswitch_factors))
+    if not hasattr(self, "_sigma_n"):
+        self._sigma_n = {}
+
+    # -- staging (device arrays; hashable structure key for the program) --
+    # baby rotations: per-sigma pre-permuted keys + (c_idx, M) operand
+    # stacks ride a lax.scan (the rotate_many pattern)
+    baby_args = ()
+    if baby_rot:
+        b_gs = [pow(5, r, 2 * n) for r in baby_rot]
+        b_sigmas = [
+            np.asarray(_ntt_galois_sigma(n, g), dtype=np.int32)
+            for g in b_gs
+        ]
+        b_keysets = [
+            ks.device_keys(self.ctx._galois_keys_for(g), hoist_perm=s)
+            for g, s in zip(b_gs, b_sigmas)
+        ]
+        b_gops = [ks.galois_mxu_operands(g) for g in b_gs]
+        assert all(o is not None for o in b_gops)
+        baby_args = tuple(
+            jnp.stack([kset[i] for kset in b_keysets]) for i in range(4)
+        ) + (
+            jnp.stack([o[0] for o in b_gops]),
+            jnp.stack([o[1] for o in b_gops]),
+        )
+    # giant rotations: plain (unpermuted) keys + operands, unrolled
+    giant_args = ()
+    for j in giant_rot:
+        g = pow(5, (j * n1) % slots, 2 * n)
+        giant_args += tuple(
+            ks.device_keys(self.ctx._galois_keys_for(g))
+        ) + tuple(ks.galois_mxu_operands(g))
+    # per-diagonal plaintexts in NTT-limb form, stacked per group
+    diag_args = ()
+    for j, ds in group_list:
+        planes = np.stack([
+            np.asarray(
+                self.ctx._to_ntt_limbs(
+                    self.ctx.encode(np.roll(diags[d], j * n1)), nl
+                ),
+                dtype=np.uint64,
+            )
+            for d in ds
+        ])                                        # (len(ds), nl, n)
+        plo, phi = w.to_pair_np(planes)
+        diag_args += (jnp.asarray(plo), jnp.asarray(phi))
+
+    struct = (nl, n1, tuple(baby_rot),
+              tuple((j, tuple(ds)) for j, ds in group_list))
+    key = ("lt_fused", struct)
+    if key not in self._rot_fn:
+        S = len(baby_rot)
+        NG = len(giant_rot)
+
+        def fn(data32, m4, *args):
+            b_args = args[:6] if S else ()
+            off = 6 if S else 0
+            g_args = args[off : off + 6 * NG]
+            p_args = args[off + 6 * NG :]
+            lo, hi = w.deinterleave_jnp(data32)      # (2, nl, n)
+
+            # babies: steps r in baby_rot via one hoisted scan; r=0 is h
+            babies = {0: (lo, hi)}
+            if S:
+                dlo, dhi = ks._decompose(lo[1][None], hi[1][None])
+                res_lo = jnp.stack([lo[0], jnp.zeros_like(lo[0])])[None]
+                res_hi = jnp.stack([hi[0], jnp.zeros_like(hi[0])])[None]
+
+                def body(carry, xs):
+                    a, b, c, d, cs, ms = xs
+                    olo, ohi = ks._apply_hoisted(
+                        dlo, dhi, res_lo, res_hi, a, b, c, d, m4,
+                        galois_ops=(cs, ms),
+                    )
+                    return carry, (olo[0], ohi[0])   # (2, nl, n)
+
+                _, (s_lo, s_hi) = jax.lax.scan(body, 0, b_args)
+                for i, r in enumerate(baby_rot):
+                    babies[r] = (s_lo[i], s_hi[i])
+
+            def mul_plain(b, plo_d, phi_d):
+                outs = []
+                for k in range(2):
+                    outs.append([
+                        w.mul_mod_static(
+                            (b[0][k, j2], b[1][k, j2]),
+                            (plo_d[j2], phi_d[j2]), moduli[j2]
+                        )
+                        for j2 in range(nl)
+                    ])
+                return (
+                    jnp.stack([jnp.stack([o[0] for o in row])
+                               for row in outs]),
+                    jnp.stack([jnp.stack([o[1] for o in row])
+                               for row in outs]),
+                )
+
+            def add_ct(a, b):
+                outs_lo, outs_hi = [], []
+                for k in range(2):
+                    row_lo, row_hi = [], []
+                    for j2 in range(nl):
+                        o = w.add_mod(
+                            (a[0][k, j2], a[1][k, j2]),
+                            (b[0][k, j2], b[1][k, j2]), moduli[j2]
+                        )
+                        row_lo.append(o[0])
+                        row_hi.append(o[1])
+                    outs_lo.append(jnp.stack(row_lo))
+                    outs_hi.append(jnp.stack(row_hi))
+                return jnp.stack(outs_lo), jnp.stack(outs_hi)
+
+            acc = None
+            gi = 0
+            for gidx, (j, ds) in enumerate(group_list):
+                plo_g, phi_g = p_args[2 * gidx], p_args[2 * gidx + 1]
+                inner = None
+                for di, d in enumerate(ds):
+                    term = mul_plain(
+                        babies[d % n1], plo_g[di], phi_g[di]
+                    )
+                    inner = term if inner is None else add_ct(inner, term)
+                if j:
+                    ka, kb, kc, kd, cI, mM = g_args[6 * gi : 6 * gi + 6]
+                    gi += 1
+                    rlo = galois_mxu.apply_galois_mxu(inner[0], cI, mM)
+                    rhi = galois_mxu.apply_galois_mxu(inner[1], cI, mM)
+                    olo, ohi = ks._build(
+                        rlo[1][None], rhi[1][None], ka, kb, kc, kd,
+                        jnp.stack(
+                            [rlo[0], jnp.zeros_like(rlo[0])]
+                        )[None],
+                        jnp.stack(
+                            [rhi[0], jnp.zeros_like(rhi[0])]
+                        )[None],
+                        m4,
+                    )
+                    inner = (olo[0], ohi[0])
+                acc = inner if acc is None else add_ct(acc, inner)
+            return w.interleave_jnp(acc[0], acc[1])
+
+        self._rot_fn[key] = jax.jit(fn)
+    rest = (msf4,) + baby_args + giant_args + diag_args
+    out32 = self._rot_fn[key](h.data32, *rest)
+    out = DeviceCkksCiphertext(out32, h.level, h.scale * self.ctx.scale)
+    if return_program:
+        # (result, traced fn, staged operand tuple) — for dependent-chain
+        # benchmarking: call fn(data32, *rest) with the operands riding
+        # the chain carry (NOT closed over: large closed-over device
+        # arrays embed as HLO constants and can exceed the remote-compile
+        # request limit on tunneled runtimes)
+        return out, self._rot_fn[key], rest
+    return out
+
+
 DeviceCkksEvaluator.linear_transform = _evaluator_linear_transform
+DeviceCkksEvaluator.linear_transform_fused = _evaluator_linear_transform_fused

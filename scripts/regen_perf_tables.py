@@ -93,6 +93,20 @@ def readme_block(cap, label):
             f"({x.get('dyadic_effective_gb_per_s', 0):.0f} GB/s effective; "
             "compute-bound) | not published |"
         )
+    bfv = x.get("bfv_multiply_rns_op_per_s")
+    if bfv:
+        rows.append(
+            f"| BFV multiply (full-RNS BEHZ, device-resident, "
+            f"{x.get('bfv_multiply_rns_shape', '16384x6')}) | "
+            f"{_fmt_k(bfv)} op/s | stays on the SEAL CPU |"
+        )
+    mv = x.get("ckks_matvec_fused_op_per_s")
+    if mv:
+        rows.append(
+            f"| Encrypted BSGS matvec ({x.get('ckks_matvec_shape', '')}, "
+            f"ONE compiled program) | {_fmt_k(mv)} matvec/s | no workload "
+            "composition |"
+        )
     return "\n".join(rows)
 
 
@@ -157,6 +171,20 @@ def roofline_block(cap, label):
             )
         )
         rows.append(f"| DyadicMultiply N-sweep (op/s) | {pairs} | — | — |")
+    bfv = x.get("bfv_multiply_rns_op_per_s")
+    if bfv:
+        rows.append(
+            f"| BFV multiply (full-RNS BEHZ on device, "
+            f"{x.get('bfv_multiply_rns_shape', '16384x6')}) | "
+            f"**{bfv:,.0f} op/s** | — | — |"
+        )
+    mv = x.get("ckks_matvec_fused_op_per_s")
+    if mv:
+        rows.append(
+            f"| Encrypted BSGS matvec ({x.get('ckks_matvec_shape', '')}; "
+            f"hoisted babies + giant keyswitches, ONE program) | "
+            f"**{mv:,.0f} matvec/s** | — | — |"
+        )
     rows.append("")
     rows.append(f"Capture: {label} (`bench.py`, one tunneled v5e chip; "
                 "same JSON the driver records).")

@@ -344,3 +344,44 @@ def test_device_evaluator_linear_transform(ctx, ev):
     assert abs(out.scale - ctx.scale * ctx.scale) < 1e-3 * out.scale
     back = ctx.decrypt(ev.to_host(out))
     assert np.max(np.abs(back - want)) < 1e-2
+
+
+def test_device_evaluator_linear_transform_fused_bitexact(ctx, ev):
+    """linear_transform_fused (the whole BSGS matvec as ONE compiled
+    program) is BIT-identical to the unfused composition — same hoisted
+    babies, same multiply/add order, same giant-step keyswitches — and
+    decrypts to the matvec."""
+    rng = np.random.default_rng(13)
+    z = rng.standard_normal(ctx.slots) * 0.5
+    diags = {
+        d: rng.standard_normal(ctx.slots) * 0.5 for d in (0, 1, 2, 5, 17)
+    }
+    want = sum(diags[d] * np.roll(z, -d) for d in diags)
+    h = ev.stage(ctx.encrypt(z))
+    ref = ev.linear_transform(h, diags, bsgs_n1=4)
+    out = ev.linear_transform_fused(h, diags, bsgs_n1=4)
+    assert out.level == ref.level
+    assert abs(out.scale - ref.scale) < 1e-3 * ref.scale
+    np.testing.assert_array_equal(
+        np.asarray(out.data32), np.asarray(ref.data32)
+    )
+    back = ctx.decrypt(ev.to_host(out))
+    assert np.max(np.abs(back - want)) < 1e-2
+
+
+def test_device_evaluator_linear_transform_fused_no_giant(ctx, ev):
+    """Degenerate BSGS shapes: all diagonals in group 0 (no giant step),
+    and a single trivial diagonal {0} (no rotation at all)."""
+    rng = np.random.default_rng(14)
+    z = rng.standard_normal(ctx.slots) * 0.5
+    diags = {d: rng.standard_normal(ctx.slots) * 0.5 for d in (0, 1, 3)}
+    want = sum(diags[d] * np.roll(z, -d) for d in diags)
+    h = ev.stage(ctx.encrypt(z))
+    out = ev.linear_transform_fused(h, diags, bsgs_n1=8)
+    back = ctx.decrypt(ev.to_host(out))
+    assert np.max(np.abs(back - want)) < 1e-2
+
+    only0 = {0: rng.standard_normal(ctx.slots) * 0.5}
+    out0 = ev.linear_transform_fused(h, only0, bsgs_n1=1)
+    back0 = ctx.decrypt(ev.to_host(out0))
+    assert np.max(np.abs(back0 - only0[0] * z)) < 1e-2
