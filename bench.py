@@ -469,7 +469,11 @@ def bench_dyadic():
             olo, ohi = runner.device_call(l1, h1, l2, h2)
             return olo[:, 0:2], ohi[:, 0:2], olo[:, 1:3], ohi[:, 1:3]
 
-        dt = chain_timer(step, tuple(dev_args))
+        try:
+            dt = chain_timer(step, tuple(dev_args))
+        except RuntimeError as exc:  # load spike killed this point
+            log(f"[dyadic B={B}] dropped: {exc}")
+            continue
         rates.append(B / dt)
         log(f"[dyadic B={B}] {B/dt:.0f} op/s")
     med, spread = _median(rates), _spread_pct(rates)
@@ -631,7 +635,11 @@ def bench_dyadic_sweep(extras):
             olo, ohi = runner.device_call(l1, h1, l2, h2)
             return olo[:, 0:2], ohi[:, 0:2], olo[:, 1:3], ohi[:, 1:3]
 
-        dt = chain_timer(step, tuple(dev_args))
+        try:
+            dt = chain_timer(step, tuple(dev_args))
+        except RuntimeError as exc:  # load spike killed this point
+            log(f"[dyadic sweep n={n}] dropped: {exc}")
+            continue
         sweep[str(n)] = round(B / dt, 1)
         log(f"[dyadic sweep n={n}] {B/dt:.0f} op/s (B={B})")
     extras["dyadic_sweep"] = sweep

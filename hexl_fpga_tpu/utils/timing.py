@@ -57,6 +57,31 @@ def chain_timer(step: Callable, state: Tuple, i1: int = 6, i2: int = 22,
 
     call_with_retry(once, i1)  # compile + warm (retries transient remote
     call_with_retry(once, i2)  # compile failures under the tunnel)
-    t1 = min(once(i1) for _ in range(reps))
-    t2 = min(once(i2) for _ in range(reps))
-    return max((t2 - t1) / (i2 - i1), 1e-9)
+
+    def measure():
+        # paired short/long trips: each pair sees (nearly) the same
+        # machine load, so pairwise slopes survive load DRIFT; the
+        # min-of-mins estimator is kept as the primary (optimal under
+        # additive noise) with the median of pairwise slopes as the
+        # fallback when a spike lands only on the short-trip runs
+        pairs = [(once(i1), once(i2)) for _ in range(reps)]
+        t1 = min(p[0] for p in pairs)
+        t2 = min(p[1] for p in pairs)
+        slope = (t2 - t1) / (i2 - i1)
+        if slope > 0:
+            return slope
+        slopes = sorted((b - a) / (i2 - i1) for a, b in pairs)
+        return slopes[len(slopes) // 2]
+
+    slope = measure()
+    if slope <= 0:
+        slope = measure()  # one fresh retry (transient load spike)
+    if slope <= 0:
+        # refusing to report is better than recording a clamped-to-zero
+        # denominator as an absurd rate (a shared-chip load spike during
+        # the short-trip runs can make the raw difference negative)
+        raise RuntimeError(
+            "chain_timer: non-positive slope twice (machine-load spike "
+            "during measurement) — rerun this metric"
+        )
+    return slope
