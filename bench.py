@@ -444,6 +444,12 @@ def bench_dyadic():
     rng = np.random.default_rng(1)
     rates = []
     checked = False
+    # 4 input + 6 output u32 planes of (2|3, M, n) per op
+    bytes_per_op = (2 * 2 + 3 * 2) * M * n * 4
+    # physical plausibility fence: one v5e chip has ~819 GB/s HBM; a point
+    # implying >1.5x that is a timer artifact (a load spike shrinking the
+    # slope denominator), never a real rate
+    cap_op_s = 1.5 * 819e9 / bytes_per_op
     for B in batches:
         op1 = rng.integers(0, 2**52, size=(B, 2, M, n), dtype=np.uint64)
         op2 = rng.integers(0, 2**52, size=(B, 2, M, n), dtype=np.uint64)
@@ -471,6 +477,11 @@ def bench_dyadic():
 
         try:
             dt = chain_timer(step, tuple(dev_args))
+            if B / dt > cap_op_s:  # one remeasure, then drop
+                log(f"[dyadic B={B}] implausible {B/dt:.0f} op/s, remeasuring")
+                dt = chain_timer(step, tuple(dev_args))
+            if B / dt > cap_op_s:
+                raise RuntimeError(f"implausible rate {B/dt:.0f} op/s twice")
         except RuntimeError as exc:  # load spike killed this point
             log(f"[dyadic B={B}] dropped: {exc}")
             continue
@@ -478,7 +489,6 @@ def bench_dyadic():
         log(f"[dyadic B={B}] {B/dt:.0f} op/s")
     med, spread = _median(rates), _spread_pct(rates)
     # effective HBM traffic: 4 input + 6 output u32 planes of (2|3, M, n)
-    bytes_per_op = (2 * 2 + 3 * 2) * M * n * 4
     gbs = med * bytes_per_op / 1e9
     log(f"[dyadic] median {med:.0f} op/s = {gbs:.0f} GB/s effective "
         f"(spread {_spread_pct(rates):.0f}%)")
