@@ -486,8 +486,10 @@ class DeviceCkksEvaluator:
             if mxu:
                 def fn(data32, klo, khi, plo, phi, msf4, *g5):
                     lo, hi = w.deinterleave_jnp(data32)   # (2, nl, n)
-                    rlo = galois_mxu.apply_galois_mxu(lo, *g5)
-                    rhi = galois_mxu.apply_galois_mxu(hi, *g5)
+                    rlo, rhi = galois_mxu.apply_galois_mxu_pair(
+                        lo, hi, *g5,
+                        hi_limbs=galois_mxu.hi_limb_count(ks.moduli),
+                    )
                     olo, ohi = ks._build(
                         rlo[1][None], rhi[1][None], klo, khi, plo, phi,
                         jnp.stack([rlo[0], jnp.zeros_like(rlo[0])])[None],
@@ -1254,8 +1256,10 @@ def _evaluator_linear_transform_fused(self, h: DeviceCkksCiphertext,
                 if j:
                     ka, kb, kc, kd, cI, mM = g_args[6 * gi : 6 * gi + 6]
                     gi += 1
-                    rlo = galois_mxu.apply_galois_mxu(inner[0], cI, mM)
-                    rhi = galois_mxu.apply_galois_mxu(inner[1], cI, mM)
+                    rlo, rhi = galois_mxu.apply_galois_mxu_pair(
+                        inner[0], inner[1], cI, mM,
+                        hi_limbs=galois_mxu.hi_limb_count(moduli),
+                    )
                     olo, ohi = ks._build(
                         rlo[1][None], rhi[1][None], ka, kb, kc, kd,
                         jnp.stack(

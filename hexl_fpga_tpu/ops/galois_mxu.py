@@ -202,3 +202,42 @@ def apply_galois_mxu(x, C, M):
     O = jnp.einsum("prm,k...pm->k...pr", M, limbs).astype(jnp.uint32)
     out = O[0] | (O[1] << 8) | (O[2] << 16) | (O[3] << 24)
     return out.reshape(shp)
+
+
+def hi_limb_count(moduli) -> int:
+    """u8 limbs covering the HI u32 plane of CANONICAL (< q) pair values:
+    the pair encodes lo + hi*2^32 < max(q), so hi < 2^(max_bits - 32) —
+    3 limbs at the flagship 52-bit moduli, 4 only beyond 56 bits (q < 2^32
+    leaves hi == 0; one zero limb keeps the path uniform)."""
+    mb = max(int(q).bit_length() for q in moduli)
+    return min(4, max(1, -(-(mb - 32) // 8)))
+
+
+def apply_galois_mxu_pair(lo, hi, C, M, hi_limbs: int = 4):
+    """Permute a CANONICAL u32 (lo, hi) pair plane (..., n) in ONE
+    take + einsum: 4 lo limbs + hi_limbs hi limbs stacked on the leading
+    limb axis.  Requires hi < 2^(8*hi_limbs) — guaranteed for canonical
+    residues via hi_limb_count(moduli).  Strictly less einsum FLOPs/HBM
+    traffic than two apply_galois_mxu calls whenever hi_limbs < 4, and one
+    dispatch chain instead of two always."""
+    import jax.numpy as jnp
+
+    n1 = M.shape[1]
+    c_idx = C if C.ndim == 1 else jnp.argmax(C, axis=1)
+    n2 = c_idx.shape[0]
+    shp = lo.shape
+    x2 = jnp.stack([lo, hi]).reshape((2,) + shp[:-1] + (n2, n1))
+    g2 = jnp.take(x2, c_idx, axis=-2)
+    glo, ghi = g2[0], g2[1]
+    limbs = jnp.stack(
+        [((glo >> (8 * k)) & jnp.uint32(0xFF)).astype(M.dtype)
+         for k in range(4)]
+        + [((ghi >> (8 * k)) & jnp.uint32(0xFF)).astype(M.dtype)
+           for k in range(hi_limbs)]
+    )  # (4 + hi_limbs, ..., n2, n1)
+    O = jnp.einsum("prm,k...pm->k...pr", M, limbs).astype(jnp.uint32)
+    olo = O[0] | (O[1] << 8) | (O[2] << 16) | (O[3] << 24)
+    ohi = O[4]
+    for k in range(1, hi_limbs):
+        ohi = ohi | (O[4 + k] << (8 * k))
+    return olo.reshape(shp), ohi.reshape(shp)

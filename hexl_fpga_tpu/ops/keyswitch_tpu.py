@@ -903,8 +903,10 @@ class KeySwitchTpuContext:
             # residues either way.
             from . import galois_mxu
 
-            out_lo = galois_mxu.apply_galois_mxu(out_lo, *galois_ops)
-            out_hi = galois_mxu.apply_galois_mxu(out_hi, *galois_ops)
+            out_lo, out_hi = galois_mxu.apply_galois_mxu_pair(
+                out_lo, out_hi, *galois_ops,
+                hi_limbs=galois_mxu.hi_limb_count(self.moduli),
+            )
         elif perm is not None:
             # generic-permutation fallback (arbitrary perm, or odd-log2 n
             # where the square-view factorization doesn't apply)

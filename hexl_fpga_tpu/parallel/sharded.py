@@ -1013,8 +1013,10 @@ class ShardedKeySwitch:
                 # (zeros in special/pad slots permute to zeros)
                 from ..ops import galois_mxu
 
-                r_lo = galois_mxu.apply_galois_mxu(r_lo, *galois_ops)
-                r_hi = galois_mxu.apply_galois_mxu(r_hi, *galois_ops)
+                r_lo, r_hi = galois_mxu.apply_galois_mxu_pair(
+                    r_lo, r_hi, *galois_ops,
+                    hi_limbs=galois_mxu.hi_limb_count(self.moduli),
+                )
             slot_lo.append(r_lo)
             slot_hi.append(r_hi)
         return jnp.stack(slot_lo), jnp.stack(slot_hi)  # (per_shard, B, 2, n)

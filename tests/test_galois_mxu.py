@@ -54,6 +54,32 @@ def test_adversarial_values_exact():
     np.testing.assert_array_equal(got, x[:, sig])
 
 
+@pytest.mark.parametrize("n,g,bits", [
+    (1024, 5, 52),                     # hi_limbs 3
+    (8192, pow(5, 33, 16384), 61),     # rectangular view, hi_limbs 4
+    (2048, 2 * 2048 - 1, 30),          # q < 2^32: hi == 0, hi_limbs 1
+])
+def test_apply_pair_matches_gather(n, g, bits):
+    """apply_galois_mxu_pair (ONE take+einsum for a canonical (lo, hi)
+    pair, 4 + hi_limb_count limbs) is bit-exact vs the direct sigma on
+    both planes for every limb-count tier."""
+    import jax.numpy as jnp
+
+    staged = galois_mxu.stage_operands(galois_mxu.build_galois_operands(n, g))
+    hl = galois_mxu.hi_limb_count([(1 << bits) - 1])
+    assert hl == max(1, min(4, -(-(bits - 32) // 8)))
+    rng = np.random.default_rng(n ^ g ^ bits)
+    v = rng.integers(0, 1 << bits, size=(3, n), dtype=np.uint64)
+    lo = (v & 0xFFFFFFFF).astype(np.uint32)
+    hi = (v >> 32).astype(np.uint32)
+    sig = galois_mxu.ntt_galois_sigma(n, g)
+    olo, ohi = galois_mxu.apply_galois_mxu_pair(
+        jnp.asarray(lo), jnp.asarray(hi), *staged, hi_limbs=hl
+    )
+    np.testing.assert_array_equal(np.asarray(olo), lo[:, sig])
+    np.testing.assert_array_equal(np.asarray(ohi), hi[:, sig])
+
+
 def test_invalid_inputs_rejected():
     """Explicit ValueError gates (assert-free: they must survive -O)."""
     with pytest.raises(ValueError):
